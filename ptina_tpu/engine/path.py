@@ -1,0 +1,146 @@
+'''
+Unidirectional path integrator with multiple importance sampling.
+
+Wavefront counterpart of the reference megakernel
+(reference: ptina/engine/path.py:17-93): instead of one divergent
+per-pixel loop, the whole [N]-ray batch advances bounce-by-bounce with
+alive masks.  Per bounce: closest cast -> direct light hit (MIS against
+the previous BSDF pdf) -> env light on miss -> next-event estimation
+(light sample + shadow cast + BSDF eval + MIS) -> BSDF bounce.
+Max depth 5 and the pdf ~ Vavg(brdf color) MIS approximation are kept
+from the reference (path.py:25, path.py:53).
+
+Random-number contract: each path consumes a fixed [PATH_DIMS] uniform
+vector (2 lens dims + 6 per bounce), supplied by the caller.  This is
+what lets the same `path_trace` serve the Sobol sampler, plain RNG and
+the MLT chain replay (reference RNGProxy, ptina/sampling/__init__.py:53-64).
+'''
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ptina_tpu.utils.mathutils import (
+    EPS, INF, clamp, dot, dot_or_zero, normalize, vavg,
+)
+from ptina_tpu.camera import camera_rays
+from ptina_tpu.intersect import cast_closest, cast_any
+from ptina_tpu.lights import lights_hit, lights_sample, world_at
+from ptina_tpu.mtllib import fetch_material
+from ptina_tpu.materials.disney import disney_eval, disney_sample
+from ptina_tpu.sampling.sobol import sample_dims
+from ptina_tpu.film import film_add
+
+__all__ = ['MAX_DEPTH', 'PATH_DIMS', 'power_heuristic', 'get_geometries',
+           'path_trace', 'render_sample', 'render']
+
+MAX_DEPTH = 5         # reference: ptina/engine/path.py:25
+PATH_DIMS = 2 + 6 * MAX_DEPTH  # = 32, the reference MLT dim count
+
+
+def power_heuristic(a, b):
+    '''Squared power heuristic (reference: ptina/engine/path.py:10-14).'''
+    a = clamp(a, EPS, INF) ** 2
+    b = clamp(b, EPS, INF) ** 2
+    return a / (a + b)
+
+
+def get_geometries(scene, hit, ro, rd):
+    '''Surface attributes at hit points (reference
+    ModelPool.get_geometries, ptina/model.py:88-101): barycentric smooth
+    normal, texcoord, two-sided flip, material fetch.
+    Returns (hitpos, normal, sign, material-params).'''
+    idx = jnp.maximum(hit.index, 0)
+    w = jnp.stack([1.0 - hit.uv[:, 0] - hit.uv[:, 1],
+                   hit.uv[:, 0], hit.uv[:, 1]], axis=-1)  # [N, 3]
+    normal = normalize(jnp.einsum('nk,nkc->nc', w, scene.tri_nrm[idx]))
+    texcoord = jnp.einsum('nk,nkc->nc', w, scene.tri_uv[idx])
+    hitpos = ro + hit.t[:, None] * rd
+
+    sign = -dot(rd, normal)
+    normal = jnp.where(sign[:, None] < 0, -normal, normal)
+
+    material = fetch_material(scene, scene.tri_mtl[idx], texcoord)
+    return hitpos, normal, sign, material
+
+
+def path_trace(scene, ro, rd, uniforms):
+    '''Trace [N] rays to completion.  uniforms: [N, PATH_DIMS] with dims
+    0-1 reserved for the caller's lens jitter.  Returns radiance [N, 3].'''
+    n = ro.shape[0]
+    result = jnp.zeros((n, 3))
+    throughput = jnp.ones((n, 3))
+    last_brdf_pdf = jnp.zeros(n)
+    avoid = jnp.full((n,), -1, jnp.int32)
+    alive = jnp.ones(n, bool)
+
+    for depth in range(MAX_DEPTH):
+        rd = normalize(rd)
+        hit = cast_closest(ro, rd, scene.tri_w2b, avoid)
+
+        # direct light hit with MIS (reference path.py:31-35)
+        lit = lights_hit(scene.lights, ro, rd)
+        lit_vis = lit['hit'] & (~hit.hit | (lit['dis'] < hit.t))
+        mis = power_heuristic(last_brdf_pdf, lit['pdf'])
+        result += jnp.where((alive & lit_vis)[:, None],
+                            throughput * mis[:, None] * lit['color'], 0.0)
+
+        # environment light on miss, then the lane dies (path.py:37-39)
+        miss = ~hit.hit
+        result += jnp.where((alive & miss)[:, None],
+                            throughput * world_at(scene, rd), 0.0)
+
+        live = alive & ~miss
+        hitpos, normal, sign, material = get_geometries(scene, hit, ro, rd)
+
+        # next-event estimation (path.py:48-56)
+        u_nee = uniforms[:, 2 + 6 * depth: 5 + 6 * depth]
+        li = lights_sample(scene.lights, hitpos, u_nee)
+        occ = cast_any(hitpos, li['dir'], scene.tri_w2b, hit.index, li['dis'])
+        brdf_clr = disney_eval(material, normal, sign, -rd, li['dir'])
+        brdf_pdf = vavg(brdf_clr)
+        mis2 = power_heuristic(li['pdf'], brdf_pdf)
+        nee = (mis2[:, None] * li['color'] * brdf_clr
+               * dot_or_zero(normal, li['dir'])[:, None])
+        nee_ok = live & ~occ & jnp.any(li['color'] > 0.0, axis=-1)
+        result += jnp.where(nee_ok[:, None], throughput * nee, 0.0)
+
+        # BSDF bounce (path.py:58-62)
+        u_bsdf = uniforms[:, 5 + 6 * depth: 8 + 6 * depth]
+        outdir, pdf, color = disney_sample(material, normal, sign, -rd, u_bsdf)
+        throughput = jnp.where(live[:, None], throughput * color, throughput)
+        ro = jnp.where(live[:, None], hitpos, ro)
+        rd = jnp.where(live[:, None], outdir, rd)
+        avoid = jnp.where(live, hit.index, avoid)
+        last_brdf_pdf = jnp.where(live, pdf, last_brdf_pdf)
+        alive = live & jnp.any(throughput > 0.0, axis=-1) \
+            & jnp.any(rd != 0.0, axis=-1)
+
+    return result
+
+
+def render_sample(scene, film, sample_index):
+    '''Accumulate one progressive sample over the full frame into film
+    pass 0 (reference PathEngine.render/do_render, path.py:75-93).'''
+    _, nx, ny, _ = film.shape
+    ii, jj = jnp.meshgrid(jnp.arange(nx), jnp.arange(ny), indexing='ij')
+    ii = ii.reshape(-1)
+    jj = jj.reshape(-1)
+    u = sample_dims(sample_index, ii, jj, PATH_DIMS)
+
+    x = (ii.astype(jnp.float32) + u[:, 0]) / nx * 2.0 - 1.0
+    y = (jj.astype(jnp.float32) + u[:, 1]) / ny * 2.0 - 1.0
+    ro, rd = camera_rays(scene.cam_v2w, x, y)
+
+    radiance = path_trace(scene, ro, rd, u)
+    rgbw = jnp.concatenate([radiance, jnp.ones_like(radiance[:, :1])], axis=-1)
+    return film_add(film, 0, rgbw.reshape(nx, ny, 4))
+
+
+@functools.partial(jax.jit, static_argnames=('spp',), donate_argnames=('film',))
+def render(scene, film, start_sample, spp=1):
+    '''Render `spp` progressive samples under one jit.'''
+    def body(s, f):
+        return render_sample(scene, f, start_sample + s)
+    return jax.lax.fori_loop(0, spp, body, film)

@@ -1,0 +1,51 @@
+'''
+Progressive film: [passes, nx, ny, 4] accumulator where .w counts samples.
+
+Functional counterpart of the reference FilmTable (ptina/filmtable.py):
+render steps return a new film value; `film_to_image` divides rgb by the
+sample count and paints empty pixels debug-pink (filmtable.py:52-63).
+Pass ids: 0 = Combined, 1 = Albedo, 2 = Normal (reference
+blender.py:591-595, things.py:19).
+'''
+
+import jax.numpy as jnp
+
+__all__ = ['new_film', 'film_add', 'film_splat', 'film_to_image',
+           'PASS_COMBINED', 'PASS_ALBEDO', 'PASS_NORMAL']
+
+PASS_COMBINED = 0
+PASS_ALBEDO = 1
+PASS_NORMAL = 2
+
+DEBUG_PINK = (0.9, 0.4, 0.9, 0.0)
+
+
+def new_film(nx, ny, passes=3):
+    return jnp.zeros((passes, nx, ny, 4), jnp.float32)
+
+
+def film_add(film, pass_id, rgbw):
+    '''Add per-pixel RGBA contributions [nx, ny, 4] into one pass.'''
+    return film.at[pass_id].add(rgbw)
+
+
+def film_splat(film, pass_id, xi, yi, rgbw):
+    '''Scatter-add arbitrary splats (for MLT): xi, yi [N] int pixel
+    coords, rgbw [N, 4].  Replaces the reference's racing atomic adds
+    (ptina/engine/mltpath.py:47-52) with a deterministic scatter-add.'''
+    nx, ny = film.shape[1], film.shape[2]
+    xi = jnp.clip(xi, 0, nx - 1)
+    yi = jnp.clip(yi, 0, ny - 1)
+    return film.at[pass_id, xi, yi].add(rgbw)
+
+
+def film_to_image(film, pass_id=0):
+    '''Normalize a pass to an [nx, ny, 4] image; empty pixels become the
+    reference's debug pink (filmtable.py:61).'''
+    val = film[pass_id]
+    w = val[..., 3:4]
+    has = w != 0.0
+    rgb = jnp.where(has, val[..., :3] / jnp.where(has, w, 1.0), 0.0)
+    out = jnp.concatenate([rgb, jnp.where(has, 1.0, 0.0)], axis=-1)
+    pink = jnp.asarray(DEBUG_PINK, val.dtype)
+    return jnp.where(has, out, pink)
