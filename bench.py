@@ -1,0 +1,55 @@
+'''
+Benchmark: cornell two-boxes, 512x512, 32 spp, unidirectional path
+tracing with MIS — the reference's headline configuration
+(reference exams/benchmark.py:25-38; baseline 7.25 samples/s on a
+GeForce 940MX with the CUDA backend, README.md:44).
+
+Methodology mirrors the reference: one warmup render + image readback,
+clear the film, then time 32 progressive samples and report
+sps = 32 / elapsed.  Prints ONE json line.
+'''
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    from ptina_tpu.scenes import cornell_box
+    from ptina_tpu.film import new_film, film_to_image
+    from ptina_tpu.engine.path import render
+
+    baseline_sps = 7.25
+    res, spp = 512, 32
+
+    scene = cornell_box()
+    film = new_film(res, res)
+
+    # warmup: compile the exact timed computation (spp is a static arg, so
+    # a different spp would compile a separate executable) + readback
+    # (reference methodology: benchmark.py:25-27)
+    film = render(scene, film, 0, spp=spp)
+    np.asarray(film_to_image(film))
+    film = new_film(res, res)
+
+    t0 = time.perf_counter()
+    film = render(scene, film, 0, spp=spp)
+    film.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    img = np.asarray(film_to_image(film))
+    assert not np.isnan(img).any(), 'nan in benchmark render'
+
+    sps = spp / elapsed
+    print(json.dumps({
+        'metric': 'sps_cornell_512x512_32spp',
+        'value': round(sps, 3),
+        'unit': 'samples/s',
+        'vs_baseline': round(sps / baseline_sps, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

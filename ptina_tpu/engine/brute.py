@@ -1,0 +1,77 @@
+'''
+Brute-force path integrator: no next-event estimation, no MIS — light is
+only collected when a bounce ray happens to hit an emitter or escapes to
+the environment.  Slow to converge but unbiased and simple; used as the
+ground-truth cross-check for the MIS integrator (that is also its role
+in the reference: "for testing purpose", ptina/engine/brute.py:1-3).
+'''
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ptina_tpu.utils.mathutils import normalize
+from ptina_tpu.camera import camera_rays
+from ptina_tpu.engine.path import _cast_and_shade, MAX_DEPTH, PATH_DIMS
+from ptina_tpu.lights import lights_hit, world_at
+from ptina_tpu.materials.disney import disney_sample
+from ptina_tpu.sampling.sobol import sample_dims
+from ptina_tpu.film import film_add
+
+__all__ = ['brute_trace', 'render_brute_sample', 'render_brute']
+
+
+def brute_trace(scene, ro, rd, uniforms):
+    '''Reference brute.py:29-62 semantics, wavefront form.'''
+    n = ro.shape[0]
+    result = jnp.zeros((n, 3))
+    throughput = jnp.ones((n, 3))
+    avoid = jnp.full((n,), -1, jnp.int32)
+    alive = jnp.ones(n, bool)
+
+    for depth in range(MAX_DEPTH):
+        rd = normalize(rd)
+        hit, hitpos, normal, sign, material = _cast_and_shade(scene, ro, rd, avoid)
+
+        lit = lights_hit(scene.lights, ro, rd)
+        lit_vis = lit['hit'] & (~hit.hit | (lit['dis'] < hit.t))
+        result += jnp.where((alive & lit_vis)[:, None],
+                            throughput * lit['color'], 0.0)
+
+        miss = ~hit.hit
+        result += jnp.where((alive & miss)[:, None],
+                            throughput * world_at(scene, rd), 0.0)
+        live = alive & ~miss
+
+        u_bsdf = uniforms[:, 5 + 6 * depth: 8 + 6 * depth]
+        outdir, pdf, color = disney_sample(material, normal, sign, -rd, u_bsdf)
+        throughput = jnp.where(live[:, None], throughput * color, throughput)
+        ro = jnp.where(live[:, None], hitpos, ro)
+        rd = jnp.where(live[:, None], outdir, rd)
+        avoid = jnp.where(live, hit.index, avoid)
+        alive = live & jnp.any(throughput > 0.0, axis=-1) \
+            & jnp.any(rd != 0.0, axis=-1)
+
+    return result
+
+
+def render_brute_sample(scene, film, sample_index):
+    _, nx, ny, _ = film.shape
+    ii, jj = jnp.meshgrid(jnp.arange(nx), jnp.arange(ny), indexing='ij')
+    ii = ii.reshape(-1)
+    jj = jj.reshape(-1)
+    u = sample_dims(sample_index, ii, jj, PATH_DIMS)
+    x = (ii.astype(jnp.float32) + u[:, 0]) / nx * 2.0 - 1.0
+    y = (jj.astype(jnp.float32) + u[:, 1]) / ny * 2.0 - 1.0
+    ro, rd = camera_rays(scene.cam_v2w, x, y)
+    radiance = brute_trace(scene, ro, rd, u)
+    rgbw = jnp.concatenate([radiance, jnp.ones_like(radiance[:, :1])], axis=-1)
+    return film_add(film, 0, rgbw.reshape(nx, ny, 4))
+
+
+@functools.partial(jax.jit, static_argnames=('spp',), donate_argnames=('film',))
+def render_brute(scene, film, start_sample, spp=1):
+    def body(s, f):
+        return render_brute_sample(scene, f, start_sample + s)
+    return jax.lax.fori_loop(0, spp, body, film)

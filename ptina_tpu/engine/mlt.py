@@ -1,0 +1,124 @@
+'''
+Primary-sample-space Metropolis light transport.
+
+Counterpart of the reference MLTPathEngine (ptina/engine/mltpath.py):
+2^18 parallel Markov chains over a 32-dim primary sample space; each
+step proposes either a large step (fresh uniforms, prob LSP) or a
+Gaussian mutation (sigma, wrapped mod 1), replays the path integrator
+with the chain's uniforms as the random stream, splats into the film,
+and Metropolis-accepts on luminance ratio.
+
+TPU-native differences:
+  * chains are a [C, D] pytree advanced by one jitted step — the
+    reference's per-thread loop becomes whole-array ops;
+  * film splats are deterministic scatter-adds (film_splat) instead of
+    racing atomics;
+  * the default splat is the two-way (accept-weighted both-states) form
+    from the reference's own improved prototype
+    (ptina/wip/metropolis.py:62-70), fixing the shipped engine's
+    known unnormalized-brightness issue (mltpath.py:38-45 commented
+    out); mode='reference' reproduces the shipped behavior exactly.
+'''
+
+import functools
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ptina_tpu.utils.mathutils import normaldist, vavg
+from ptina_tpu.camera import camera_rays
+from ptina_tpu.engine.path import path_trace, PATH_DIMS
+from ptina_tpu.film import film_splat
+
+__all__ = ['MLTState', 'mlt_init', 'mlt_step', 'render_mlt']
+
+LSP = 0.25    # large-step probability (reference mltpath.py:25-28)
+SIGMA = 0.01  # mutation size
+
+
+@flax.struct.dataclass
+class MLTState:
+    x: jnp.ndarray    # [C, D] primary samples
+    l: jnp.ndarray    # [C, 3] cached radiance
+    key: jnp.ndarray  # PRNG key
+
+
+def mlt_init(key, nchains=2 ** 18, ndims=PATH_DIMS):
+    '''Fresh chains (reference reset(), mltpath.py:30-36).'''
+    kx, knext = jax.random.split(key)
+    return MLTState(
+        x=jax.random.uniform(kx, (nchains, ndims)),
+        l=jnp.zeros((nchains, 3)),
+        key=knext,
+    )
+
+
+def _replay(scene, x):
+    '''Trace the path encoded by primary samples x [C, D]
+    (reference mltpath.py:67-69: dims 0,1 are the lens).'''
+    ro, rd = camera_rays(scene.cam_v2w,
+                         x[:, 0] * 2.0 - 1.0, x[:, 1] * 2.0 - 1.0)
+    return path_trace(scene, ro, rd, x)
+
+
+def mlt_step(scene, state, film, lsp=LSP, sigma=SIGMA, mode='twoway'):
+    '''One mutation round for every chain.  Returns (state, film).'''
+    c, d = state.x.shape
+    nx, ny = film.shape[1], film.shape[2]
+    k1, k2, k3, k4, knext = jax.random.split(state.key, 5)
+
+    large = jax.random.uniform(k1, (c,)) < lsp
+    fresh = jax.random.uniform(k2, (c, d))
+    mutated = jnp.mod(state.x + sigma * normaldist(fresh), 1.0)
+    x_new = jnp.where(large[:, None], fresh, mutated)
+
+    l_new = _replay(scene, x_new)
+
+    al_new = vavg(l_new) + 1e-10
+    al_old = vavg(state.l) + 1e-10
+    accept = jnp.minimum(1.0, al_new / al_old)
+
+    def pix(x):
+        xi = jnp.floor(x[:, 0] * nx).astype(jnp.int32)
+        yi = jnp.floor(x[:, 1] * ny).astype(jnp.int32)
+        return xi, yi
+
+    if mode == 'reference':
+        # shipped behavior (mltpath.py:47-52,75-76): splat the proposal
+        # with unit importance
+        xi, yi = pix(x_new)
+        film = film_splat(film, 0, xi, yi,
+                          jnp.concatenate([l_new, jnp.ones((c, 1))], -1))
+    else:
+        # two-way accept-weighted splat (wip/metropolis.py:62-70)
+        w_new = accept
+        w_old = 1.0 - accept
+        xi_n, yi_n = pix(x_new)
+        film = film_splat(film, 0, xi_n, yi_n,
+                          jnp.concatenate([l_new * w_new[:, None],
+                                           w_new[:, None]], -1))
+        xi_o, yi_o = pix(state.x)
+        film = film_splat(film, 0, xi_o, yi_o,
+                          jnp.concatenate([state.l * w_old[:, None],
+                                           w_old[:, None]], -1))
+
+    take = jax.random.uniform(k3, (c,)) < accept
+    return MLTState(
+        x=jnp.where(take[:, None], x_new, state.x),
+        l=jnp.where(take[:, None], l_new, state.l),
+        key=knext,
+    ), film
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('steps', 'mode'),
+                   donate_argnames=('state', 'film'))
+def render_mlt(scene, state, film, steps=1, lsp=LSP, sigma=SIGMA,
+               mode='twoway'):
+    '''Advance all chains `steps` rounds under one jit.'''
+    def body(_, carry):
+        st, f = carry
+        return mlt_step(scene, st, f, lsp=lsp, sigma=sigma, mode=mode)
+    state, film = jax.lax.fori_loop(0, steps, body, (state, film))
+    return state, film

@@ -25,7 +25,7 @@ from ptina_tpu.utils.mathutils import (
     EPS, INF, clamp, dot, dot_or_zero, normalize, vavg,
 )
 from ptina_tpu.camera import camera_rays
-from ptina_tpu.intersect import cast_closest, cast_any
+from ptina_tpu.intersect.dispatch import cast_closest, cast_any, cast_shaded
 from ptina_tpu.lights import lights_hit, lights_sample, world_at
 from ptina_tpu.mtllib import fetch_material
 from ptina_tpu.materials.disney import disney_eval, disney_sample
@@ -50,7 +50,13 @@ def get_geometries(scene, hit, ro, rd):
     '''Surface attributes at hit points (reference
     ModelPool.get_geometries, ptina/model.py:88-101): barycentric smooth
     normal, texcoord, two-sided flip, material fetch.
-    Returns (hitpos, normal, sign, material-params).'''
+    Returns (hitpos, normal, sign, material-params).
+
+    Hit results are detached (stop_gradient): gradients flow through
+    shading evaluated at fixed hit points, not through the discrete
+    intersection — the estimator design required for clean material /
+    texture derivatives (see BASELINE.md north star).'''
+    hit = jax.tree.map(jax.lax.stop_gradient, hit)
     idx = jnp.maximum(hit.index, 0)
     w = jnp.stack([1.0 - hit.uv[:, 0] - hit.uv[:, 1],
                    hit.uv[:, 0], hit.uv[:, 1]], axis=-1)  # [N, 3]
@@ -65,6 +71,21 @@ def get_geometries(scene, hit, ro, rd):
     return hitpos, normal, sign, material
 
 
+def _cast_and_shade(scene, ro, rd, avoid):
+    '''Fused closest-cast + surface attributes (TPU: one Pallas pass, see
+    intersect/dispatch.cast_shaded).  Same contract as cast_closest +
+    get_geometries.  Hit data is detached (see get_geometries doc).'''
+    hit, normal, texcoord, mtlid = cast_shaded(scene, ro, rd, avoid)
+    hit = jax.tree.map(jax.lax.stop_gradient, hit)
+    normal = jax.lax.stop_gradient(normal)
+    texcoord = jax.lax.stop_gradient(texcoord)
+    hitpos = ro + hit.t[:, None] * rd
+    sign = -dot(rd, normal)
+    normal = jnp.where(sign[:, None] < 0, -normal, normal)
+    material = fetch_material(scene, mtlid, texcoord)
+    return hit, hitpos, normal, sign, material
+
+
 def path_trace(scene, ro, rd, uniforms):
     '''Trace [N] rays to completion.  uniforms: [N, PATH_DIMS] with dims
     0-1 reserved for the caller's lens jitter.  Returns radiance [N, 3].'''
@@ -77,7 +98,7 @@ def path_trace(scene, ro, rd, uniforms):
 
     for depth in range(MAX_DEPTH):
         rd = normalize(rd)
-        hit = cast_closest(ro, rd, scene.tri_w2b, avoid)
+        hit, hitpos, normal, sign, material = _cast_and_shade(scene, ro, rd, avoid)
 
         # direct light hit with MIS (reference path.py:31-35)
         lit = lights_hit(scene.lights, ro, rd)
@@ -92,7 +113,6 @@ def path_trace(scene, ro, rd, uniforms):
                             throughput * world_at(scene, rd), 0.0)
 
         live = alive & ~miss
-        hitpos, normal, sign, material = get_geometries(scene, hit, ro, rd)
 
         # next-event estimation (path.py:48-56)
         u_nee = uniforms[:, 2 + 6 * depth: 5 + 6 * depth]
@@ -120,17 +140,26 @@ def path_trace(scene, ro, rd, uniforms):
     return result
 
 
-def render_sample(scene, film, sample_index):
-    '''Accumulate one progressive sample over the full frame into film
-    pass 0 (reference PathEngine.render/do_render, path.py:75-93).'''
+def render_sample(scene, film, sample_index, x0=0, y0=0, full_res=None):
+    '''Accumulate one progressive sample over the film into pass 0
+    (reference PathEngine.render/do_render, path.py:75-93).
+
+    The film may be a tile/shard of a larger frame: x0/y0 are its global
+    pixel offsets and full_res the full frame (nx, ny) — this one entry
+    point serves whole-frame rendering, the reference's dormant tile
+    renderer (path.py:95-128) and shard_map device sharding, because the
+    NDC mapping and the per-pixel Sobol rotation only depend on global
+    pixel ids.'''
     _, nx, ny, _ = film.shape
-    ii, jj = jnp.meshgrid(jnp.arange(nx), jnp.arange(ny), indexing='ij')
+    fnx, fny = full_res if full_res is not None else (nx, ny)
+    ii, jj = jnp.meshgrid(x0 + jnp.arange(nx), y0 + jnp.arange(ny),
+                          indexing='ij')
     ii = ii.reshape(-1)
     jj = jj.reshape(-1)
     u = sample_dims(sample_index, ii, jj, PATH_DIMS)
 
-    x = (ii.astype(jnp.float32) + u[:, 0]) / nx * 2.0 - 1.0
-    y = (jj.astype(jnp.float32) + u[:, 1]) / ny * 2.0 - 1.0
+    x = (ii.astype(jnp.float32) + u[:, 0]) / fnx * 2.0 - 1.0
+    y = (jj.astype(jnp.float32) + u[:, 1]) / fny * 2.0 - 1.0
     ro, rd = camera_rays(scene.cam_v2w, x, y)
 
     radiance = path_trace(scene, ro, rd, u)

@@ -13,7 +13,7 @@ slab test used by BVH traversal.
 
 import jax.numpy as jnp
 
-from ptina_tpu.utils.mathutils import EPS, INF, dot, normalize, cross
+from ptina_tpu.utils.mathutils import EPS, INF, dot, normalize, cross, safe_sqrt
 
 __all__ = ['ray_aabb', 'ray_sphere', 'ray_rect']
 
@@ -47,7 +47,7 @@ def ray_sphere(ro, rd, center, radius2):
     op = center - ro
     b = dot(op, rd)
     det = b * b + radius2 - dot(op, op)
-    sq = jnp.sqrt(jnp.maximum(det, 0.0))
+    sq = safe_sqrt(det)
     t_near = b - sq
     t_far = b + sq
     t = jnp.where(t_near > EPS, t_near, jnp.where(t_far > EPS, t_far, 0.0))

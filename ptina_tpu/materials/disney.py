@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ptina_tpu.utils.mathutils import (
     EPS, PI, clamp, lerp, dot, dot_or_zero, normalize, reflect, refract,
-    spherical, tanspace, vavg,
+    safe_sqrt, spherical, tanspace, vavg,
 )
 from ptina_tpu.materials import choice_split
 from ptina_tpu.materials.microfacet import (
@@ -221,7 +221,7 @@ def disney_sample(p, normal, sign, indir, samp):
     col_spec = jnp.where(ok_sp[..., None], col_spec, 0.0)
 
     # ---------------- diffuse lobe (disney.py:204-231) ----------------
-    out_df = to_world(spherical(jnp.sqrt(sx), sy))
+    out_df = to_world(spherical(safe_sqrt(sx), sy))
     half_df = normalize(indir + out_df)
     cosi_df = dot(indir, normal)
     coso_df = dot(out_df, normal)

@@ -6,7 +6,7 @@ so masked-out lanes stay finite (required for clean autodiff).
 
 import jax.numpy as jnp
 
-from ptina_tpu.utils.mathutils import PI, clamp, spherical, normalize
+from ptina_tpu.utils.mathutils import PI, clamp, spherical, normalize, safe_sqrt
 
 __all__ = ['schlick_fresnel', 'dielectric_fresnel', 'gtr1', 'gtr2',
            'smith_ggx', 'sample_gtr1', 'sample_gtr2', 'sample_gtr2_vnor']
@@ -20,10 +20,10 @@ def schlick_fresnel(cost):
 def dielectric_fresnel(etai, etao, cosi):
     '''Full unpolarized dielectric Fresnel with total internal reflection
     (reference: microfacet.py:13-27; argument order kept identical).'''
-    sini = jnp.sqrt(jnp.maximum(0.0, 1.0 - cosi * cosi))
+    sini = safe_sqrt(1.0 - cosi * cosi)
     sint = etao / etai * sini
     no_tir = sint < 1.0
-    cost = jnp.sqrt(jnp.maximum(0.0, 1.0 - sint * sint))
+    cost = safe_sqrt(1.0 - sint * sint)
     a1, a2 = etai * cosi, etao * cost
     b1, b2 = etao * cosi, etai * cost
     para = (a1 - a2) / jnp.maximum(a1 + a2, 1e-12)
@@ -52,7 +52,7 @@ def smith_ggx(cosi, alpha):
     (reference: microfacet.py:44-48).'''
     a = alpha * alpha
     b = cosi * cosi
-    return 1.0 / jnp.maximum(cosi + jnp.sqrt(jnp.maximum(a + b - a * b, 0.0)), 1e-12)
+    return 1.0 / jnp.maximum(cosi + safe_sqrt(a + b - a * b), 1e-12)
 
 
 def sample_gtr1(u, v, alpha):
@@ -61,15 +61,15 @@ def sample_gtr1(u, v, alpha):
     expression (microfacet.py:68-71) misplaces the parentheses and yields
     nan for most u, which its callers silently reject — fixed here.'''
     a2 = jnp.maximum(alpha * alpha, 1e-12)
-    h = jnp.sqrt(jnp.maximum(1.0 - a2 ** (1.0 - u), 0.0) /
-                 jnp.maximum(1.0 - a2, 1e-12))
+    h = safe_sqrt(jnp.maximum(1.0 - a2 ** (1.0 - u), 0.0) /
+                  jnp.maximum(1.0 - a2, 1e-12))
     return spherical(h, v)
 
 
 def sample_gtr2(u, v, alpha):
     '''Importance-sample the GGX lobe, local frame (reference:
     microfacet.py:74-77).'''
-    h = jnp.sqrt((1.0 - u) / jnp.maximum(1.0 - u * (1.0 - alpha * alpha), 1e-12))
+    h = safe_sqrt((1.0 - u) / jnp.maximum(1.0 - u * (1.0 - alpha * alpha), 1e-12))
     return spherical(h, v)
 
 
@@ -86,14 +86,14 @@ def sample_gtr2_vnor(ve, u, v, alpha):
                               jnp.zeros_like(inv)], axis=-1),
                    jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), vh.shape))
     t2 = jnp.cross(vh, t1)
-    r = jnp.sqrt(u)
+    r = safe_sqrt(u)
     phi = 2.0 * PI * v
     p1 = r * jnp.cos(phi)
     p2r = r * jnp.sin(phi)
     s = 0.5 * (1.0 + vh[..., 2])
-    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 0.0)) + s * p2r
+    p2 = (1.0 - s) * safe_sqrt(1.0 - p1 * p1) + s * p2r
     nh = (p1[..., None] * t1 + p2[..., None] * t2 +
-          jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))[..., None] * vh)
+          safe_sqrt(1.0 - p1 * p1 - p2 * p2)[..., None] * vh)
     ne = normalize(jnp.stack([alpha * nh[..., 0], alpha * nh[..., 1],
                               jnp.maximum(nh[..., 2], 0.0)], axis=-1))
     return ne

@@ -1,0 +1,88 @@
+'''
+shard_map rendering and data-parallel gradient steps.
+
+Design (scaling-book style): pick a 1-D mesh over all chips, shard the
+film's row axis, replicate the scene.  Rendering needs no collectives at
+all (each band of pixels is independent); the differentiable training
+step psums material/texture gradients over ICI.
+'''
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ptina_tpu.engine.path import render_sample
+from ptina_tpu.film import film_to_image
+
+__all__ = ['make_mesh', 'render_sharded', 'train_step_sharded']
+
+
+def make_mesh(devices=None, axis='rays'):
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(devices, (axis,))
+
+
+def render_sharded(scene, film, sample_index, mesh, spp=1):
+    '''Render with the film row-sharded over the mesh.  film: [P, nx, ny, 4]
+    with nx divisible by the mesh size.  Returns the updated film (still
+    sharded; gather happens implicitly at readout).'''
+    axis = mesh.axis_names[0]
+    nx = film.shape[1]
+    ndev = mesh.devices.size
+    assert nx % ndev == 0, 'film rows must divide the mesh'
+    shard_nx = nx // ndev
+
+    @functools.partial(
+        shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(), P(None, axis, None, None), P()),
+        out_specs=P(None, axis, None, None))
+    def _render(scene_, film_, sample_index_):
+        x0 = jax.lax.axis_index(axis) * shard_nx
+
+        def body(s, f):
+            return render_sample(scene_, f, sample_index_ + s,
+                                 x0=x0, full_res=(nx, film.shape[2]))
+        return jax.lax.fori_loop(0, spp, body, film_)
+
+    return _render(scene, film, jnp.asarray(sample_index, jnp.int32))
+
+
+def train_step_sharded(scene, film0, target, sample_index, mesh, lr=0.05):
+    '''One data-parallel differentiable render step: every device renders
+    its film band, computes the local MSE loss against its slice of the
+    target image, backprops through shading, and material-table gradients
+    are all-reduced (psum) over the mesh before an SGD update.
+    Returns (new_scene, loss).  This is the flagship "training" path the
+    multi-chip dry-run compiles (gradients w.r.t. the Disney material
+    factors; BVH/intersection results are detached per the design).'''
+    axis = mesh.axis_names[0]
+    nx = film0.shape[1]
+    ndev = mesh.devices.size
+    shard_nx = nx // ndev
+
+    @functools.partial(
+        shard_map, mesh=mesh, check_vma=False,
+        in_specs=(P(), P(), P(None, axis, None, None),
+                  P(axis, None, None), P()),
+        out_specs=(P(), P()))
+    def _step(mat_fac, scene_, film_, target_, sample_index_):
+        x0 = jax.lax.axis_index(axis) * shard_nx
+
+        def local_loss(fac):
+            sc = scene_.replace(materials=scene_.materials.replace(fac=fac))
+            film = render_sample(sc, film_, sample_index_,
+                                 x0=x0, full_res=(nx, film0.shape[2]))
+            img = film_to_image(film)[..., :3]
+            return jnp.mean((img - target_) ** 2)
+
+        loss, grad = jax.value_and_grad(local_loss)(mat_fac)
+        grad = jax.lax.pmean(grad, axis)
+        loss = jax.lax.pmean(loss, axis)
+        return mat_fac - lr * grad, loss
+
+    new_fac, loss = _step(scene.materials.fac, scene, film0, target,
+                          jnp.asarray(sample_index, jnp.int32))
+    return scene.replace(materials=scene.materials.replace(fac=new_fac)), loss

@@ -91,6 +91,7 @@ class Scene:
     tri_uv: jnp.ndarray    # [F, 3, 2] f32 vertex texcoords
     tri_mtl: jnp.ndarray   # [F] i32 material id (-1 = default)
     tri_w2b: jnp.ndarray   # [F, 3, 4] f32 world->barycentric functionals
+    tri_attrs: jnp.ndarray  # [18, F] corner-major shading attributes
     nfaces: jnp.ndarray    # [] i32 live faces (slots >= nfaces are padding)
 
     materials: Materials
@@ -131,6 +132,18 @@ def precompute_tri_functionals(tri_pos):
         jnp.concatenate([gv, -dot(gv, v0)[:, None]], axis=-1),
     ], axis=1)  # [F, 3, 4]
     return rows
+
+
+def pack_corner_attrs(tri_nrm, tri_uv, tri_mtl):
+    '''Corner-major shading attribute table for the fused Pallas shade
+    kernel (intersect/pallas_cast.py): [3 corners x 6 channels, F] where
+    the channels are (nrm.xyz, uv.xy, mtlid).  The kernel interpolates
+    them barycentrically; mtlid is constant per face so the interpolation
+    reproduces it exactly.'''
+    f = tri_nrm.shape[0]
+    mtl = jnp.broadcast_to(tri_mtl.astype(jnp.float32)[:, None, None], (f, 3, 1))
+    per_corner = jnp.concatenate([tri_nrm, tri_uv, mtl], axis=-1)  # [F, 3, 6]
+    return per_corner.transpose(1, 2, 0).reshape(18, f)
 
 
 def make_materials(materials=None, max_materials=64):
@@ -191,21 +204,29 @@ def make_textures(images=None):
     return TextureAtlas(data=jnp.asarray(data), nx=jnp.asarray(nx), ny=jnp.asarray(ny))
 
 
-def make_lights(lights=None, max_lights=64, default_light=True):
+def make_lights(lights=None, max_lights=None, default_light=True):
     '''Build the light pool.  `lights` is a list of dicts with keys
     pos/color/size/type and optional axes (3x3).  With no lights and
     default_light=True, installs the reference's default point light:
     color (32,32,32), pos (1,2,3), size 0.5
-    (reference: ptina/light/__init__.py:22-29).'''
+    (reference: ptina/light/__init__.py:22-29).
+
+    Capacity defaults to the smallest multiple of 8 that fits (the
+    reference reserves 64 slots, ptina/things.py:17 — here the dense
+    [N, L] light tests make unused slots cost real VPU work, so the pool
+    is sized to the scene; pass max_lights to override).'''
+    if lights is None and default_light:
+        lights = [dict(color=(32, 32, 32), pos=(1, 2, 3), size=0.5,
+                       type=LIGHT_POINT)]
+    lights = lights or []
+    if max_lights is None:
+        max_lights = max(8, -(-len(lights) // 8) * 8)
     L = max_lights
     color = np.zeros((L, 3), np.float32)
     pos = np.zeros((L, 3), np.float32)
     axes = np.tile(np.eye(3, dtype=np.float32), (L, 1, 1))
     size = np.zeros(L, np.float32)
     ltype = np.zeros(L, np.int32)
-    if lights is None and default_light:
-        lights = [dict(color=(32, 32, 32), pos=(1, 2, 3), size=0.5, type=LIGHT_POINT)]
-    lights = lights or []
     assert len(lights) <= L, 'too many lights'
     for i, l in enumerate(lights):
         color[i] = l['color']
@@ -256,16 +277,20 @@ def make_scene(vertices, mtlids=None, materials=None, images=None,
     # padding triangles are degenerate (all-zero) -> never hit
 
     tri_pos_j = jnp.asarray(tri_pos)
+    tri_nrm_j = jnp.asarray(tri_nrm)
+    tri_uv_j = jnp.asarray(tri_uv)
+    tri_mtl_j = jnp.asarray(tri_mtl)
     if cam_pers is None:
         cam_pers = ortho() @ lookat()
     cam_pers = np.asarray(cam_pers, np.float32)
 
     return Scene(
         tri_pos=tri_pos_j,
-        tri_nrm=jnp.asarray(tri_nrm),
-        tri_uv=jnp.asarray(tri_uv),
-        tri_mtl=jnp.asarray(tri_mtl),
+        tri_nrm=tri_nrm_j,
+        tri_uv=tri_uv_j,
+        tri_mtl=tri_mtl_j,
         tri_w2b=precompute_tri_functionals(tri_pos_j),
+        tri_attrs=pack_corner_attrs(tri_nrm_j, tri_uv_j, tri_mtl_j),
         nfaces=jnp.asarray(nfaces, jnp.int32),
         materials=make_materials(materials),
         textures=make_textures(images),

@@ -21,8 +21,16 @@ __all__ = [
     'clamp', 'lerp', 'unlerp', 'smoothstep',
     'dot', 'dot_or_zero', 'norm', 'normalize', 'cross', 'vavg',
     'tanspace', 'spherical', 'unspherical', 'dir2tex',
-    'reflect', 'refract', 'normaldist', 'safe_div',
+    'reflect', 'refract', 'normaldist', 'safe_div', 'safe_sqrt',
 ]
+
+
+def safe_sqrt(x):
+    '''sqrt clamped at zero with a zero (not inf/nan) gradient at x <= 0.
+    Every sqrt in the shading path that can see an exact zero must use
+    this, or masked-out lanes poison autodiff via 0 * inf = nan.'''
+    m = x > 0.0
+    return jnp.where(m, jnp.sqrt(jnp.where(m, x, 1.0)), 0.0)
 
 
 def clamp(x, lo=0.0, hi=1.0):
@@ -53,7 +61,7 @@ def dot_or_zero(a, b):
 
 
 def norm(v):
-    return jnp.sqrt(jnp.sum(v * v, axis=-1))
+    return safe_sqrt(jnp.sum(v * v, axis=-1))
 
 
 def normalize(v, eps=1e-12):
@@ -89,7 +97,7 @@ def tanspace(nrm, up=(233.0, 666.0, 512.0)):
 def spherical(h, p):
     '''Direction from cos-elevation h and turn fraction p
     (reference: ptina/common.py:221-225).  h, p: [...] -> [..., 3].'''
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - h * h))
+    r = safe_sqrt(1.0 - h * h)
     ang = p * TAU
     return jnp.stack([r * jnp.cos(ang), r * jnp.sin(ang), h], axis=-1)
 
@@ -122,7 +130,7 @@ def refract(i, n, eta):
     eta = jnp.broadcast_to(jnp.asarray(eta, dtype=i.dtype), noi.shape)
     discr = 1.0 - eta * eta * (1.0 - noi * noi)
     has = discr > 0.0
-    t = eta[..., None] * i - n * (eta * noi + jnp.sqrt(jnp.maximum(discr, 0.0)))[..., None]
+    t = eta[..., None] * i - n * (eta * noi + safe_sqrt(discr))[..., None]
     t = normalize(t)
     return has, jnp.where(has[..., None], t, jnp.zeros_like(t))
 

@@ -1,0 +1,226 @@
+'''
+Flat stateful API — the reference's public surface, kept shape-compatible
+(reference: ptina/worker.py:11-87).  A thin mutable wrapper over the
+functional core: it holds the current scene ingredients host-side,
+rebuilds the immutable Scene pytree when they change, and tracks the
+progressive film.
+
+The reference needs a dedicated daemon thread because its runtime is
+thread-affine (ptina/tools/mtworker.py); jax has no such constraint, so
+this module is plainly callable from anywhere.
+'''
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ptina_tpu import scene as _scene_mod
+from ptina_tpu import scenes as _scenes
+from ptina_tpu.film import new_film, film_to_image
+from ptina_tpu.io.matrix import ortho, lookat
+
+__all__ = [
+    'init', 'synchronize', 'render', 'render_preview', 'set_size', 'get_size',
+    'clear', 'set_mlt_param', 'get_image', 'fast_export_image', 'clear_lights',
+    'set_world_light', 'add_light', 'load_model', 'load_images',
+    'load_materials', 'build_tree', 'set_camera', 'set_engine',
+]
+
+
+class _State:
+    def __init__(self):
+        self.vertices = None
+        self.mtlids = None
+        self.materials = None
+        self.images = None
+        self.lights = []
+        self.default_light = True
+        self.world_fac = (0.1, 0.1, 0.1, 0.1)
+        self.world_tex = -1
+        self.cam_pers = None
+        self.nx, self.ny = 512, 512
+        self.film = None
+        self.scene = None
+        self.dirty = True
+        self.engine = 'path'
+        self.sample_index = 0
+        self.mlt_state = None
+        self.mlt_lsp = 0.25
+        self.mlt_sigma = 0.01
+
+
+_S = _State()
+
+
+def init(engine='path'):
+    '''reference worker.init (worker.py:11-14).'''
+    global _S
+    _S = _State()
+    _S.engine = engine
+
+
+def set_engine(engine):
+    '''Select 'path' | 'brute' | 'mlt' (the reference switches engines by
+    editing imports, worker.py:6-7).'''
+    _S.engine = engine
+    _S.mlt_state = None
+
+
+def _rebuild():
+    if not _S.dirty and _S.scene is not None:
+        return
+    verts = _S.vertices
+    mtlids = _S.mtlids
+    if verts is None:
+        # empty placeholder triangle far away
+        verts = np.zeros((3, 8), np.float32)
+        verts[:, 0] = 1e5
+        mtlids = None
+    cam = _S.cam_pers if _S.cam_pers is not None else ortho() @ lookat()
+    _S.scene = _scene_mod.make_scene(
+        verts, mtlids, materials=_S.materials, images=_S.images,
+        lights=_S.lights if (_S.lights or not _S.default_light) else None,
+        default_light=_S.default_light,
+        world_fac=_S.world_fac, world_tex=_S.world_tex, cam_pers=cam)
+    _S.dirty = False
+
+
+def _ensure_film():
+    if _S.film is None:
+        _S.film = new_film(_S.nx, _S.ny)
+
+
+def synchronize():
+    if _S.film is not None:
+        jax.block_until_ready(_S.film)
+
+
+def render(aa=True):
+    '''One progressive sample with the selected engine
+    (reference worker.render, worker.py:21-22).'''
+    _rebuild()
+    _ensure_film()
+    if _S.engine == 'path':
+        from ptina_tpu.engine.path import render as _r
+        _S.film = _r(_S.scene, _S.film, _S.sample_index, spp=1)
+    elif _S.engine == 'brute':
+        from ptina_tpu.engine.brute import render_brute as _r
+        _S.film = _r(_S.scene, _S.film, _S.sample_index, spp=1)
+    elif _S.engine == 'mlt':
+        from ptina_tpu.engine.mlt import mlt_init, render_mlt
+        if _S.mlt_state is None:
+            # one chain per pixel (the reference fixes 2^18 chains,
+            # mltpath.py:11 — at 512x512 that is exactly one per pixel)
+            _S.mlt_state = mlt_init(jax.random.key(0),
+                                    nchains=_S.nx * _S.ny)
+        _S.mlt_state, _S.film = render_mlt(
+            _S.scene, _S.mlt_state, _S.film, steps=1,
+            lsp=_S.mlt_lsp, sigma=_S.mlt_sigma)
+    else:
+        raise ValueError(f'unknown engine {_S.engine!r}')
+    _S.sample_index += 1
+
+
+def render_preview(aa=True):
+    '''AOV passes (reference worker.render_preview, worker.py:25-26).'''
+    _rebuild()
+    _ensure_film()
+    from ptina_tpu.engine.preview import render_preview as _r
+    _S.film = _r(_S.scene, _S.film, _S.sample_index, spp=1)
+
+
+def set_size(nx, ny):
+    _S.nx, _S.ny = int(nx), int(ny)
+    _S.film = None
+    _S.sample_index = 0
+
+
+def get_size():
+    return _S.nx, _S.ny
+
+
+def clear(id=0):
+    _S.film = None
+    _S.sample_index = 0
+    _S.mlt_state = None
+
+
+def set_mlt_param(lsp, sigma):
+    _S.mlt_lsp = float(lsp)
+    _S.mlt_sigma = float(sigma)
+
+
+def get_image(id=0):
+    _ensure_film()
+    return np.asarray(film_to_image(_S.film, id))
+
+
+def fast_export_image(pixels, id=0):
+    '''Flat RGB export (reference filmtable.py:65-79): pixels is a
+    preallocated [ny*nx*3] float buffer in scanline order.'''
+    img = get_image(id)
+    rgb = np.transpose(img[..., :3], (1, 0, 2)).reshape(-1)
+    pixels[:rgb.size] = rgb
+
+
+def clear_lights():
+    _S.lights = []
+    _S.default_light = False
+    _S.dirty = True
+
+
+def set_world_light(fac, tex):
+    _S.world_fac = tuple(np.asarray(fac, np.float32).reshape(-1)[:4])
+    _S.world_tex = int(tex)
+    _S.dirty = True
+
+
+def add_light(world, color, size, type):
+    '''4x4 world matrix + color + size + 'POINT'|'AREA'
+    (reference LightPool.add, ptina/light/__init__.py:34-49).'''
+    world = np.asarray(world, np.float64)
+    pos = world @ np.array([0.0, 0.0, 0.0, 1.0])
+    pos = pos[:3] / pos[3]
+    tmap = {'POINT': _scene_mod.LIGHT_POINT, 'AREA': _scene_mod.LIGHT_AREA}
+    _S.lights.append(dict(
+        color=np.asarray(color, np.float32),
+        pos=pos.astype(np.float32), size=float(size),
+        type=tmap[type] if isinstance(type, str) else int(type),
+        axes=world[:3, :3].astype(np.float32)))
+    _S.default_light = False
+    _S.dirty = True
+
+
+def load_model(vertices, mtlids=None):
+    '''[F*3, 8] flat vertices (+ per-face material ids), or an OBJ path /
+    readobj dict (reference ModelPool.load, ptina/model.py:62-86).'''
+    if isinstance(vertices, str):
+        from ptina_tpu.io.readobj import readobj
+        vertices = readobj(vertices)
+    if isinstance(vertices, dict):
+        from ptina_tpu.io.readobj import obj_to_vertices
+        vertices = obj_to_vertices(vertices)
+    _S.vertices = np.asarray(vertices, np.float32)
+    _S.mtlids = None if mtlids is None else np.asarray(mtlids, np.int32)
+    _S.dirty = True
+
+
+def load_images(images):
+    _S.images = list(images) if images else None
+    _S.dirty = True
+
+
+def load_materials(materials):
+    _S.materials = list(materials) if materials else None
+    _S.dirty = True
+
+
+def build_tree():
+    '''Finalize scene acceleration (reference worker.build_tree).  The
+    dense MXU cast needs no build; the LBVH path builds lazily.'''
+    _rebuild()
+
+
+def set_camera(pers):
+    _S.cam_pers = np.asarray(pers, np.float64)
+    _S.dirty = True

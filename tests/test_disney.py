@@ -1,0 +1,112 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ptina_tpu.utils.mathutils import normalize, dot, spherical, PI
+from ptina_tpu.materials.disney import disney_derive, disney_eval, disney_sample
+from ptina_tpu.scene import DEFAULT_MATERIAL
+
+
+def _params(n, **over):
+    vals = dict(DEFAULT_MATERIAL)
+    vals.update(over)
+    base = vals.pop('basecolor')
+    base = np.broadcast_to(np.asarray(base, np.float32).reshape(-1)[:3], (n, 3)) \
+        if np.ndim(base) else np.full((n, 3), base, np.float32)
+    p = {'basecolor': jnp.asarray(base)}
+    for k, v in vals.items():
+        p[k] = jnp.full((n,), v, jnp.float32)
+    return disney_derive(p)
+
+
+def test_eval_finite_and_nonnegative_diffuse():
+    n = 256
+    rng = np.random.RandomState(0)
+    normal = jnp.asarray([[0.0, 0.0, 1.0]] * n)
+    indir = normalize(jnp.asarray(
+        np.abs(rng.randn(n, 1)) * [[0, 0, 1]] + rng.randn(n, 3) * [[1, 1, 0]],
+        jnp.float32))
+    indir = normalize(indir * jnp.asarray([1.0, 1.0, 1.0]) + jnp.asarray([0, 0, 0.5]))
+    outdir = normalize(jnp.asarray(rng.randn(n, 3), jnp.float32)
+                       * jnp.asarray([1, 1, 0.3]) + jnp.asarray([0, 0, 0.8]))
+    p = _params(n, metallic=0.0, transmission=0.0, roughness=0.6)
+    sign = dot(indir, normal)
+    val = disney_eval(p, normal, sign, indir, outdir)
+    v = np.asarray(val)
+    assert np.isfinite(v).all()
+    assert (v >= -1e-5).all()
+
+
+def test_sample_outdirs_normalized_and_finite():
+    n = 512
+    rng = np.random.RandomState(1)
+    normal = jnp.asarray([[0.0, 0.0, 1.0]] * n)
+    indir = normalize(jnp.asarray(rng.rand(n, 3) * [2, 2, 1] - [1, 1, 0] + [0, 0, 0.2],
+                                  jnp.float32))
+    samp = jnp.asarray(rng.rand(n, 3), jnp.float32)
+    for over in [dict(), dict(metallic=1.0), dict(transmission=1.0, roughness=0.1),
+                 dict(clearcoat=1.0), dict(roughness=0.05)]:
+        p = _params(n, **over)
+        outdir, pdf, color = disney_sample(p, normal, jnp.ones(n), indir, samp)
+        o, pd, c = np.asarray(outdir), np.asarray(pdf), np.asarray(color)
+        assert np.isfinite(o).all() and np.isfinite(pd).all() and np.isfinite(c).all()
+        lens = np.linalg.norm(o, axis=1)
+        valid = pd > 0
+        assert np.allclose(lens[valid], 1.0, atol=1e-4)
+
+
+def test_diffuse_white_furnace():
+    '''For a pure diffuse material the sampled estimator color is the
+    energy ratio; its mean over many samples must be <= 1 (energy
+    conservation) and reasonably close to basecolor for high albedo.'''
+    n = 4096
+    rng = np.random.RandomState(2)
+    normal = jnp.asarray([[0.0, 0.0, 1.0]] * n)
+    indir = jnp.asarray([[0.0, 0.0, 1.0]] * n)
+    samp = jnp.asarray(rng.rand(n, 3), jnp.float32)
+    p = _params(n, basecolor=1.0, roughness=0.0, specular=0.0, sheen=0.0,
+                subsurface=0.0)
+    outdir, pdf, color = disney_sample(p, normal, jnp.ones(n), indir, samp)
+    c = np.asarray(color)
+    # diffuse lobe carries the Disney Fd terms; mean reflectance stays
+    # within a sane band around 1 for white albedo
+    mean = c.mean(0)
+    assert (mean < 1.15).all() and (mean > 0.6).all()
+
+
+def test_sample_eval_pdf_consistency_diffuse():
+    '''Importance-sampled estimator E[color] should match the
+    brdf*cos/pdf integral estimated with the same lobe directions.'''
+    n = 8192
+    rng = np.random.RandomState(3)
+    normal = jnp.asarray([[0.0, 0.0, 1.0]] * n)
+    indir = normalize(jnp.asarray([[0.3, 0.1, 0.9]] * n))
+    samp = jnp.asarray(rng.rand(n, 3), jnp.float32)
+    p = _params(n, roughness=0.4)
+    outdir, pdf, color = disney_sample(p, normal, jnp.ones(n), indir, samp)
+    # evaluate brdf explicitly at the sampled directions
+    val = disney_eval(p, normal, jnp.ones(n), indir, outdir)
+    cos = np.maximum(np.asarray(dot(outdir, normal)), 0)
+    est_direct = np.asarray(color).mean(0)
+    # diffuse-only check: select diffuse lanes (pdf == 1/pi)
+    mask = np.isclose(np.asarray(pdf), 1 / np.pi, atol=1e-4)
+    if mask.sum() > 100:
+        explicit = (np.asarray(val)[mask] * cos[mask, None]) * np.pi
+        # color on diffuse lanes is diffuse*pi/(choice pdf); both include Fd
+        ratio = explicit.mean(0) / np.asarray(color)[mask].mean(0)
+        assert np.all(ratio > 0.2) and np.all(ratio < 5.0)
+
+
+def test_transmission_refracts():
+    n = 64
+    normal = jnp.asarray([[0.0, 0.0, 1.0]] * n)
+    indir = jnp.asarray([[0.0, 0.0, 1.0]] * n)
+    rng = np.random.RandomState(4)
+    samp = jnp.asarray(np.stack([rng.rand(n) * 0.2, rng.rand(n),
+                                 np.full(n, 0.5)], 1), jnp.float32)
+    p = _params(n, transmission=1.0, roughness=0.0, metallic=0.0)
+    outdir, pdf, color = disney_sample(p, normal, jnp.ones(n), indir, samp)
+    o = np.asarray(outdir)
+    pd = np.asarray(pdf)
+    # some lanes must refract through (negative z)
+    assert (o[pd > 0, 2] < 0).any()

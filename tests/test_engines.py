@@ -1,0 +1,55 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ptina_tpu.scenes import cornell_box
+from ptina_tpu.film import new_film, film_to_image, PASS_ALBEDO, PASS_NORMAL
+from ptina_tpu.engine.path import render
+from ptina_tpu.engine.brute import render_brute
+from ptina_tpu.engine.preview import render_preview
+from ptina_tpu.engine.mlt import mlt_init, render_mlt
+
+
+def test_preview_aovs():
+    scene = cornell_box()
+    film = render_preview(scene, new_film(16, 16), 0, spp=1)
+    albedo = np.asarray(film_to_image(film, PASS_ALBEDO))
+    normal = np.asarray(film_to_image(film, PASS_NORMAL))
+    assert np.isfinite(albedo).all() and np.isfinite(normal).all()
+    # center pixels hit walls: albedo in (0,1], normal unit-ish
+    c = albedo[8, 8, :3]
+    assert (c > 0).any() and (c <= 1).all()
+    n = normal[8, 8, :3]
+    assert 0.5 < np.linalg.norm(n) < 1.5
+
+
+def test_brute_converges_toward_path():
+    '''Brute-force and MIS integrators estimate the same integral: at
+    moderate spp their means over the image must agree within noise.'''
+    scene = cornell_box()
+    spp = 48
+    f_mis = render(scene, new_film(8, 8), 0, spp=spp)
+    f_bru = render_brute(scene, new_film(8, 8), 0, spp=spp)
+    m1 = float(np.asarray(film_to_image(f_mis))[..., :3].mean())
+    m2 = float(np.asarray(film_to_image(f_bru))[..., :3].mean())
+    assert abs(m1 - m2) / max(m1, m2) < 0.35  # brute is high-variance
+
+
+def test_mlt_runs_and_accumulates():
+    scene = cornell_box()
+    state = mlt_init(jax.random.key(1), nchains=4096)
+    film = new_film(16, 16)
+    state, film = render_mlt(scene, state, film, steps=3)
+    f = np.asarray(film)
+    assert np.isfinite(f).all()
+    assert f[0, ..., 3].sum() > 0  # splats landed
+    img = np.asarray(film_to_image(film))
+    assert np.isfinite(img).all()
+
+
+def test_mlt_reference_mode():
+    scene = cornell_box()
+    state = mlt_init(jax.random.key(2), nchains=1024)
+    film = new_film(8, 8)
+    state, film = render_mlt(scene, state, film, steps=2, mode='reference')
+    assert np.isfinite(np.asarray(film)).all()
