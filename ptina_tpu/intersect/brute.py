@@ -55,6 +55,16 @@ def _homog(ro, rd):
             jnp.concatenate([rd, zero], axis=-1))
 
 
+def _pad_tiles(tri_w2b, tile):
+    '''Pad the triangle table to a tile multiple with all-zero rows
+    (degenerate functionals are rejected by the |denom| >= EPS test).'''
+    f = tri_w2b.shape[0]
+    fpad = -f % tile
+    if fpad:
+        tri_w2b = jnp.pad(tri_w2b, ((0, fpad), (0, 0), (0, 0)))
+    return tri_w2b, f + fpad
+
+
 def _tile_test(o4, d4, m_tile, base, avoid):
     '''Test all rays against one triangle tile.
     o4, d4: [N, 4]; m_tile: [TF, 3, 4]; returns (t [N, TF], u, v).'''
@@ -80,9 +90,8 @@ def cast_closest(ro, rd, tri_w2b, avoid, tile=TILE_F):
     [F, 3, 4] (F padded so degenerate padding rows never hit);
     avoid: [N] i32 face index to skip (-1 = none).'''
     n = ro.shape[0]
-    f = tri_w2b.shape[0]
-    tile = min(tile, f)
-    assert f % tile == 0, 'pad face count to a tile multiple'
+    tile = min(tile, tri_w2b.shape[0])
+    tri_w2b, f = _pad_tiles(tri_w2b, tile)
     o4, d4 = _homog(ro, rd)
 
     def body(carry, m_tile_base):
@@ -112,9 +121,8 @@ def cast_any(ro, rd, tri_w2b, avoid, tmax, tile=TILE_F):
     '''Occlusion cast: True where any triangle (except avoid) is hit at
     0 < t < tmax.  Used for shadow rays (reference: ptina/engine/path.py:50-51
     tests occ.depth > li.dis).'''
-    f = tri_w2b.shape[0]
-    tile = min(tile, f)
-    assert f % tile == 0
+    tile = min(tile, tri_w2b.shape[0])
+    tri_w2b, f = _pad_tiles(tri_w2b, tile)
     o4, d4 = _homog(ro, rd)
 
     def body(occ, m_tile_base):

@@ -17,6 +17,16 @@ from ptina_tpu.texture import sample_texture
 __all__ = ['lights_hit', 'lights_sample', 'world_at']
 
 
+def _contract(onehot, table):
+    '''Select per-ray rows of a tiny [L, ...] table with a [N, L] one-hot
+    contraction.  Per-ray gathers (`table[idx]`) lower to scalar-unit
+    gather loops on TPU (~milliseconds at N=512x512); a [N,L]@[L,k]
+    matmul with L <= 64 is VPU/MXU work in the tens of microseconds.'''
+    flat = table.reshape(table.shape[0], -1)
+    out = jnp.dot(onehot, flat, preferred_element_type=jnp.float32)
+    return out.reshape((onehot.shape[0],) + table.shape[1:])
+
+
 def lights_hit(lights, ro, rd):
     '''Direct-hit query against every light (reference hit(),
     ptina/light/__init__.py:51-81).  The reference scans slots in order
@@ -45,12 +55,14 @@ def lights_hit(lights, ro, rd):
     area = jnp.where(is_point, area_sph, area_rect)
     valid = live & (t > 0.0) & (t < INF)
 
-    first = jnp.argmax(valid, axis=1)  # lowest hit slot per ray
+    # lowest hit slot per ray, as a one-hot (first valid <=> cumulative
+    # count of valids up to and including the slot is exactly 1)
+    first_oh = (valid & (jnp.cumsum(valid, axis=1) == 1)).astype(t.dtype)
     any_hit = jnp.any(valid, axis=1)
-    lane = jnp.arange(ro.shape[0])
-    dis = t[lane, first]
-    pdf = dis ** 2 / jnp.maximum(area[first], 1e-12)
-    color = lights.color[first]
+    dis = jnp.sum(t * first_oh, axis=1)
+    area_sel = jnp.sum(area[None, :] * first_oh, axis=1)
+    pdf = dis ** 2 / jnp.maximum(area_sel, 1e-12)
+    color = _contract(first_oh, lights.color)
     return dict(hit=any_hit, dis=jnp.where(any_hit, dis, INF),
                 pdf=jnp.where(any_hit, pdf, 0.0),
                 color=jnp.where(any_hit[:, None], color, 0.0))
@@ -63,15 +75,18 @@ def lights_sample(lights, hitpos, samp):
     already divided by pdf and cosine-weighted for area lights, exactly
     like the reference.'''
     n = hitpos.shape[0]
+    L = lights.size.shape[0]
     count = jnp.maximum(lights.count, 1)
     idx = jnp.clip((samp[:, 2] * count.astype(samp.dtype)).astype(jnp.int32),
                    0, count - 1)
 
-    ltype = lights.type[idx]
-    color = lights.color[idx]
-    pos = lights.pos[idx]
-    size = lights.size[idx]
-    axes = lights.axes[idx]
+    oh = (idx[:, None] == jnp.arange(L)[None, :]).astype(samp.dtype)
+    ltype = jnp.sum(lights.type[None, :].astype(samp.dtype) * oh,
+                    axis=1).astype(jnp.int32)
+    color = _contract(oh, lights.color)
+    pos = _contract(oh, lights.pos)
+    size = jnp.sum(lights.size[None, :] * oh, axis=1)
+    axes = _contract(oh, lights.axes)
 
     # point: surface point on the light sphere — the reference samples
     # spherical(samp.x, ...) whose z >= 0, i.e. the +z hemisphere

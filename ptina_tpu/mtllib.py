@@ -33,8 +33,12 @@ def fetch_material(scene, mtlid, texcoord):
     fac = jnp.dot(oh, mats.fac.reshape(m1, 12 * 4),
                   preferred_element_type=jnp.float32).reshape(-1, 12, 4)
 
-    # texture-modulated parameters (gather path; no-op when untextured)
-    texids = mats.tex[row]  # [N, 12]
+    # texture-modulated parameters (no-op when untextured; the texture id
+    # select is a one-hot contraction, not a per-lane gather — see
+    # lights._contract for why)
+    texids = jnp.dot(oh, mats.tex.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    texids = jnp.round(texids).astype(jnp.int32)  # [N, 12]
     has_tex = texids >= 0
     if scene.textures.data.shape[0] > 1 or scene.textures.data.shape[1] > 1:
         s, t = texcoord[:, 0], texcoord[:, 1]
