@@ -86,7 +86,11 @@ def lights_sample(lights, hitpos, samp):
     color = _contract(oh, lights.color)
     pos = _contract(oh, lights.pos)
     size = jnp.sum(lights.size[None, :] * oh, axis=1)
-    axes = _contract(oh, lights.axes)
+    # frame columns contracted separately — a per-ray [N, 3, 3] matrix
+    # would materialize minor-axis-padded (8, 128) tiles on TPU
+    ax_x = _contract(oh, lights.axes[:, :, 0])  # [N, 3]
+    ax_y = _contract(oh, lights.axes[:, :, 1])
+    ax_z = _contract(oh, lights.axes[:, :, 2])
 
     # point: surface point on the light sphere — the reference samples
     # spherical(samp.x, ...) whose z >= 0, i.e. the +z hemisphere
@@ -95,10 +99,10 @@ def lights_sample(lights, hitpos, samp):
     litpos_pt = pos + size[:, None] * disp_pt
     area_pt = jnp.pi * size ** 2
 
-    local = jnp.stack([samp[:, 0] * 2.0 - 1.0, samp[:, 1] * 2.0 - 1.0,
-                       jnp.zeros_like(samp[:, 0])], axis=-1)
-    disp_ar = jnp.einsum('nij,nj->ni', axes, local)
-    nrm_ar = axes[:, :, 2]
+    lx = (samp[:, 0] * 2.0 - 1.0)[:, None]
+    ly = (samp[:, 1] * 2.0 - 1.0)[:, None]
+    disp_ar = ax_x * lx + ax_y * ly
+    nrm_ar = ax_z
     litpos_ar = pos + size[:, None] * disp_ar
     area_ar = 4.0 * size ** 2
 
@@ -129,6 +133,10 @@ def world_at(scene, rd):
     WorldLight.at, ptina/light/world.py:22-29, including the blender axis
     swizzle for the equirect lookup).'''
     fac = scene.world_fac
+    if scene.textures.data.shape[1] == 1 and scene.textures.data.shape[2] == 1:
+        # no real textures loaded (static shape) -> the equirect fetch and
+        # its arctan2s would be dead work on every bounce; skip at trace time
+        return jnp.broadcast_to(fac[None, :3], (rd.shape[0], 3))
     textured = scene.world_tex >= 0
     texid = jnp.maximum(scene.world_tex, 0)
     d = jnp.stack([rd[:, 0], rd[:, 2], -rd[:, 1]], axis=-1)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ptina_tpu.utils.mathutils import (
     EPS, PI, clamp, lerp, dot, dot_or_zero, normalize, reflect, refract,
-    safe_sqrt, spherical, tanspace, vavg,
+    safe_sqrt, spherical, tanframe, vavg,
 )
 from ptina_tpu.materials import choice_split
 from ptina_tpu.materials.microfacet import (
@@ -157,11 +157,15 @@ def disney_sample(p, normal, sign, indir, samp):
     take_diff = ~take_coat & ~take_spec_r
     take_trans_r, w3, pdf_t = choice_split(w2, transmission)
 
-    frame = tanspace(normal)  # [..,3,3] columns (tan, bitan, normal)
+    # Tangent frame kept as separate vectors — a stacked [..,3,3] frame
+    # plus einsum materializes minor-axis-padded tiles on TPU (~1 GB at
+    # 512x512); the elementwise form fuses away entirely.
+    tan, bitan = tanframe(normal)
     sx, sy = samp[..., 0], samp[..., 1]
 
     def to_world(local):
-        return jnp.einsum('...ij,...j->...i', frame, local)
+        return (tan * local[..., 0:1] + bitan * local[..., 1:2]
+                + normal * local[..., 2:3])
 
     # ---------------- clearcoat lobe (disney.py:136-157) ----------------
     cc_alpha = p['ccalpha']

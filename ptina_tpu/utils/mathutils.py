@@ -20,7 +20,7 @@ __all__ = [
     'EPS', 'INF', 'PI', 'TAU',
     'clamp', 'lerp', 'unlerp', 'smoothstep',
     'dot', 'dot_or_zero', 'norm', 'normalize', 'cross', 'vavg',
-    'tanspace', 'spherical', 'unspherical', 'dir2tex',
+    'tanframe', 'tanspace', 'spherical', 'unspherical', 'dir2tex',
     'reflect', 'refract', 'normaldist', 'safe_div', 'safe_sqrt',
 ]
 
@@ -83,14 +83,24 @@ def safe_div(a, b, eps=1e-12):
     return a / jnp.where(b < 0, -mag, mag)
 
 
-def tanspace(nrm, up=(233.0, 666.0, 512.0)):
-    '''Tangent frame columns [tan, bitan, nrm] for a [..., 3] normal
-    (reference: ptina/common.py:213-217).  Returns [..., 3, 3] whose
-    matmul with a local direction maps tangent space -> world.'''
+def tanframe(nrm, up=(233.0, 666.0, 512.0)):
+    '''Tangent frame (tan, bitan) for a [..., 3] normal
+    (reference: ptina/common.py:213-217).  Returned as two separate
+    [..., 3] vectors: on TPU a stacked [..., 3, 3] frame matrix would
+    materialize with the minor axes padded to full (8, 128) tiles
+    (~40x the useful bytes), so frame application stays elementwise:
+    world = tan*l.x + bitan*l.y + nrm*l.z.'''
     up = jnp.asarray(up, dtype=nrm.dtype)
     up = jnp.broadcast_to(up, nrm.shape)
     bitan = normalize(cross(nrm, up))
     tan = cross(bitan, nrm)
+    return tan, bitan
+
+
+def tanspace(nrm, up=(233.0, 666.0, 512.0)):
+    '''Tangent frame columns [tan, bitan, nrm] as an [..., 3, 3] matrix.
+    Prefer `tanframe` in hot paths (see its docstring).'''
+    tan, bitan = tanframe(nrm, up)
     return jnp.stack([tan, bitan, nrm], axis=-1)
 
 
