@@ -11,7 +11,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ptina_tpu.utils.mathutils import normalize
+from ptina_tpu.utils.vec import V3, vnormalize, vwhere
 from ptina_tpu.camera import camera_rays
 from ptina_tpu.engine.path import _cast_and_shade, MAX_DEPTH, PATH_DIMS
 from ptina_tpu.lights import lights_hit, world_at
@@ -23,51 +23,57 @@ __all__ = ['brute_trace', 'render_brute_sample', 'render_brute']
 
 
 def brute_trace(scene, ro, rd, uniforms):
-    '''Reference brute.py:29-62 semantics, wavefront form.'''
-    n = ro.shape[0]
-    result = jnp.zeros((n, 3))
-    throughput = jnp.ones((n, 3))
-    avoid = jnp.full((n,), -1, jnp.int32)
-    alive = jnp.ones(n, bool)
+    '''Reference brute.py:29-62 semantics, wavefront SoA form.
+    ro, rd: V3 rows; uniforms [PATH_DIMS, N].  Returns V3 radiance.'''
+    n_sh = ro.x.shape
+    zero = jnp.zeros(n_sh)
+    one = jnp.ones(n_sh)
+    result = V3(zero, zero, zero)
+    throughput = V3(one, one, one)
+    avoid = jnp.full(n_sh, -1, jnp.int32)
+    alive = jnp.ones(n_sh, bool)
 
     for depth in range(MAX_DEPTH):
-        rd = normalize(rd)
+        rd = vnormalize(rd)
         hit, hitpos, normal, sign, material = _cast_and_shade(scene, ro, rd, avoid)
 
         lit = lights_hit(scene.lights, ro, rd)
         lit_vis = lit['hit'] & (~hit.hit | (lit['dis'] < hit.t))
-        result += jnp.where((alive & lit_vis)[:, None],
-                            throughput * lit['color'], 0.0)
+        result = result + vwhere(alive & lit_vis,
+                                 throughput * lit['color'], 0.0)
 
         miss = ~hit.hit
-        result += jnp.where((alive & miss)[:, None],
-                            throughput * world_at(scene, rd), 0.0)
+        result = result + vwhere(alive & miss,
+                                 throughput * world_at(scene, rd), 0.0)
         live = alive & ~miss
 
-        u_bsdf = uniforms[:, 5 + 6 * depth: 8 + 6 * depth]
-        outdir, pdf, color = disney_sample(material, normal, sign, -rd, u_bsdf)
-        throughput = jnp.where(live[:, None], throughput * color, throughput)
-        ro = jnp.where(live[:, None], hitpos, ro)
-        rd = jnp.where(live[:, None], outdir, rd)
+        outdir, pdf, color = disney_sample(
+            material, normal, sign, -rd,
+            uniforms[5 + 6 * depth], uniforms[6 + 6 * depth],
+            uniforms[7 + 6 * depth])
+        throughput = vwhere(live, throughput * color, throughput)
+        ro = vwhere(live, hitpos, ro)
+        rd = vwhere(live, outdir, rd)
         avoid = jnp.where(live, hit.index, avoid)
-        alive = live & jnp.any(throughput > 0.0, axis=-1) \
-            & jnp.any(rd != 0.0, axis=-1)
+        alive = live \
+            & ((throughput.x > 0.0) | (throughput.y > 0.0)
+               | (throughput.z > 0.0)) \
+            & ((rd.x != 0.0) | (rd.y != 0.0) | (rd.z != 0.0))
 
     return result
 
 
 def render_brute_sample(scene, film, sample_index):
-    _, nx, ny, _ = film.shape
+    _, _, nx, ny = film.shape
     ii, jj = jnp.meshgrid(jnp.arange(nx), jnp.arange(ny), indexing='ij')
     ii = ii.reshape(-1)
     jj = jj.reshape(-1)
     u = sample_dims(sample_index, ii, jj, PATH_DIMS)
-    x = (ii.astype(jnp.float32) + u[:, 0]) / nx * 2.0 - 1.0
-    y = (jj.astype(jnp.float32) + u[:, 1]) / ny * 2.0 - 1.0
+    x = (ii.astype(jnp.float32) + u[0]) / nx * 2.0 - 1.0
+    y = (jj.astype(jnp.float32) + u[1]) / ny * 2.0 - 1.0
     ro, rd = camera_rays(scene.cam_v2w, x, y)
-    radiance = brute_trace(scene, ro, rd, u)
-    rgbw = jnp.concatenate([radiance, jnp.ones_like(radiance[:, :1])], axis=-1)
-    return film_add(film, 0, rgbw.reshape(nx, ny, 4))
+    rad = brute_trace(scene, ro, rd, u)
+    return film_add(film, 0, rad.x, rad.y, rad.z, jnp.ones_like(rad.x))
 
 
 @functools.partial(jax.jit, static_argnames=('spp',), donate_argnames=('film',))

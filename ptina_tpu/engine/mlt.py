@@ -9,8 +9,11 @@ with the chain's uniforms as the random stream, splats into the film,
 and Metropolis-accepts on luminance ratio.
 
 TPU-native differences:
-  * chains are a [C, D] pytree advanced by one jitted step — the
-    reference's per-thread loop becomes whole-array ops;
+  * chains are a dimension-major [D, C] array advanced by one jitted
+    step — the reference's per-thread loop becomes whole-array ops, and
+    each primary-sample dimension is a dense row feeding the SoA
+    integrator directly;
+  * cached radiance is a V3 of [C] rows;
   * film splats are deterministic scatter-adds (film_splat) instead of
     racing atomics;
   * the default splat is the two-way (accept-weighted both-states) form
@@ -26,7 +29,8 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
-from ptina_tpu.utils.mathutils import normaldist, vavg
+from ptina_tpu.utils.mathutils import normaldist
+from ptina_tpu.utils.vec import V3, vavg3, vwhere
 from ptina_tpu.camera import camera_rays
 from ptina_tpu.engine.path import path_trace, PATH_DIMS
 from ptina_tpu.film import film_splat
@@ -39,74 +43,72 @@ SIGMA = 0.01  # mutation size
 
 @flax.struct.dataclass
 class MLTState:
-    x: jnp.ndarray    # [C, D] primary samples
-    l: jnp.ndarray    # [C, 3] cached radiance
+    x: jnp.ndarray    # [D, C] primary samples (dimension-major)
+    l: V3             # cached radiance, [C] rows
     key: jnp.ndarray  # PRNG key
 
 
 def mlt_init(key, nchains=2 ** 18, ndims=PATH_DIMS):
     '''Fresh chains (reference reset(), mltpath.py:30-36).'''
     kx, knext = jax.random.split(key)
+    zero = jnp.zeros((nchains,))
     return MLTState(
-        x=jax.random.uniform(kx, (nchains, ndims)),
-        l=jnp.zeros((nchains, 3)),
+        x=jax.random.uniform(kx, (ndims, nchains)),
+        l=V3(zero, zero, zero),
         key=knext,
     )
 
 
 def _replay(scene, x):
-    '''Trace the path encoded by primary samples x [C, D]
+    '''Trace the path encoded by primary samples x [D, C]
     (reference mltpath.py:67-69: dims 0,1 are the lens).'''
-    ro, rd = camera_rays(scene.cam_v2w,
-                         x[:, 0] * 2.0 - 1.0, x[:, 1] * 2.0 - 1.0)
+    ro, rd = camera_rays(scene.cam_v2w, x[0] * 2.0 - 1.0, x[1] * 2.0 - 1.0)
     return path_trace(scene, ro, rd, x)
 
 
 def mlt_step(scene, state, film, lsp=LSP, sigma=SIGMA, mode='twoway'):
     '''One mutation round for every chain.  Returns (state, film).'''
-    c, d = state.x.shape
-    nx, ny = film.shape[1], film.shape[2]
-    k1, k2, k3, k4, knext = jax.random.split(state.key, 5)
+    d, c = state.x.shape
+    nx, ny = film.shape[2], film.shape[3]
+    k1, k2, k3, knext = jax.random.split(state.key, 4)
 
     large = jax.random.uniform(k1, (c,)) < lsp
-    fresh = jax.random.uniform(k2, (c, d))
+    fresh = jax.random.uniform(k2, (d, c))
     mutated = jnp.mod(state.x + sigma * normaldist(fresh), 1.0)
-    x_new = jnp.where(large[:, None], fresh, mutated)
+    x_new = jnp.where(large[None, :], fresh, mutated)
 
     l_new = _replay(scene, x_new)
 
-    al_new = vavg(l_new) + 1e-10
-    al_old = vavg(state.l) + 1e-10
+    al_new = vavg3(l_new) + 1e-10
+    al_old = vavg3(state.l) + 1e-10
     accept = jnp.minimum(1.0, al_new / al_old)
 
     def pix(x):
-        xi = jnp.floor(x[:, 0] * nx).astype(jnp.int32)
-        yi = jnp.floor(x[:, 1] * ny).astype(jnp.int32)
+        xi = jnp.floor(x[0] * nx).astype(jnp.int32)
+        yi = jnp.floor(x[1] * ny).astype(jnp.int32)
         return xi, yi
 
     if mode == 'reference':
         # shipped behavior (mltpath.py:47-52,75-76): splat the proposal
         # with unit importance
         xi, yi = pix(x_new)
-        film = film_splat(film, 0, xi, yi,
-                          jnp.concatenate([l_new, jnp.ones((c, 1))], -1))
+        film = film_splat(film, 0, xi, yi, l_new.x, l_new.y, l_new.z,
+                          jnp.ones((c,)))
     else:
         # two-way accept-weighted splat (wip/metropolis.py:62-70)
         w_new = accept
         w_old = 1.0 - accept
         xi_n, yi_n = pix(x_new)
-        film = film_splat(film, 0, xi_n, yi_n,
-                          jnp.concatenate([l_new * w_new[:, None],
-                                           w_new[:, None]], -1))
+        film = film_splat(film, 0, xi_n, yi_n, l_new.x * w_new,
+                          l_new.y * w_new, l_new.z * w_new, w_new)
         xi_o, yi_o = pix(state.x)
-        film = film_splat(film, 0, xi_o, yi_o,
-                          jnp.concatenate([state.l * w_old[:, None],
-                                           w_old[:, None]], -1))
+        film = film_splat(film, 0, xi_o, yi_o, state.l.x * w_old,
+                          state.l.y * w_old, state.l.z * w_old, w_old)
 
     take = jax.random.uniform(k3, (c,)) < accept
     return MLTState(
-        x=jnp.where(take[:, None], x_new, state.x),
-        l=jnp.where(take[:, None], l_new, state.l),
+        x=jnp.where(take[None, :], x_new, state.x),
+        l=vwhere(take, l_new, state.l),
         key=knext,
     ), film
 

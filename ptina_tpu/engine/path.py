@@ -10,10 +10,16 @@ the previous BSDF pdf) -> env light on miss -> next-event estimation
 Max depth 5 and the pdf ~ Vavg(brdf color) MIS approximation are kept
 from the reference (path.py:25, path.py:53).
 
-Random-number contract: each path consumes a fixed [PATH_DIMS] uniform
-vector (2 lens dims + 6 per bounce), supplied by the caller.  This is
-what lets the same `path_trace` serve the Sobol sampler, plain RNG and
-the MLT chain replay (reference RNGProxy, ptina/sampling/__init__.py:53-64).
+Data layout: everything in the bounce loop is SoA — rays, normals and
+colors are V3 component rows, uniforms are dimension-major [D, N] — so
+the whole bounce body is elementwise arithmetic XLA fuses end-to-end
+(see utils/vec.py for why minor-axis-3 arrays are hostile to TPU tiles).
+
+Random-number contract: each path consumes a fixed [PATH_DIMS, N]
+uniform block (2 lens dims + 6 per bounce), supplied by the caller.
+This is what lets the same `path_trace` serve the Sobol sampler, plain
+RNG and the MLT chain replay (reference RNGProxy,
+ptina/sampling/__init__.py:53-64).
 '''
 
 import functools
@@ -21,18 +27,17 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ptina_tpu.utils.mathutils import (
-    EPS, INF, clamp, dot, dot_or_zero, normalize, vavg,
-)
+from ptina_tpu.utils.mathutils import EPS, INF, clamp
+from ptina_tpu.utils.vec import V3, vdot, vdot_or_zero, vnormalize, vwhere, vavg3
 from ptina_tpu.camera import camera_rays
-from ptina_tpu.intersect.dispatch import cast_closest, cast_any, cast_shaded
+from ptina_tpu.intersect.dispatch import cast_any, cast_shaded
 from ptina_tpu.lights import lights_hit, lights_sample, world_at
 from ptina_tpu.mtllib import fetch_material
 from ptina_tpu.materials.disney import disney_eval, disney_sample
 from ptina_tpu.sampling.sobol import sample_dims
 from ptina_tpu.film import film_add
 
-__all__ = ['MAX_DEPTH', 'PATH_DIMS', 'power_heuristic', 'get_geometries',
+__all__ = ['MAX_DEPTH', 'PATH_DIMS', 'power_heuristic',
            'path_trace', 'render_sample', 'render']
 
 MAX_DEPTH = 5         # reference: ptina/engine/path.py:25
@@ -46,96 +51,86 @@ def power_heuristic(a, b):
     return a / (a + b)
 
 
-def get_geometries(scene, hit, ro, rd):
-    '''Surface attributes at hit points (reference
-    ModelPool.get_geometries, ptina/model.py:88-101): barycentric smooth
-    normal, texcoord, two-sided flip, material fetch.
-    Returns (hitpos, normal, sign, material-params).
+def _cast_and_shade(scene, ro, rd, avoid):
+    '''Fused closest-cast + surface attributes (TPU: one Pallas pass, see
+    intersect/dispatch.cast_shaded).  Mirrors the reference
+    ModelPool.get_geometries (ptina/model.py:88-101): smooth normal,
+    two-sided flip, texcoord, material fetch.
 
     Hit results are detached (stop_gradient): gradients flow through
     shading evaluated at fixed hit points, not through the discrete
     intersection — the estimator design required for clean material /
     texture derivatives (see BASELINE.md north star).'''
-    hit = jax.tree.map(jax.lax.stop_gradient, hit)
-    idx = jnp.maximum(hit.index, 0)
-    w = jnp.stack([1.0 - hit.uv[:, 0] - hit.uv[:, 1],
-                   hit.uv[:, 0], hit.uv[:, 1]], axis=-1)  # [N, 3]
-    normal = normalize(jnp.einsum('nk,nkc->nc', w, scene.tri_nrm[idx]))
-    texcoord = jnp.einsum('nk,nkc->nc', w, scene.tri_uv[idx])
-    hitpos = ro + hit.t[:, None] * rd
-
-    sign = -dot(rd, normal)
-    normal = jnp.where(sign[:, None] < 0, -normal, normal)
-
-    material = fetch_material(scene, scene.tri_mtl[idx], texcoord)
-    return hitpos, normal, sign, material
-
-
-def _cast_and_shade(scene, ro, rd, avoid):
-    '''Fused closest-cast + surface attributes (TPU: one Pallas pass, see
-    intersect/dispatch.cast_shaded).  Same contract as cast_closest +
-    get_geometries.  Hit data is detached (see get_geometries doc).'''
-    hit, normal, texcoord, mtlid = cast_shaded(scene, ro, rd, avoid)
+    hit, normal, tex_s, tex_t, mtlid = cast_shaded(scene, ro, rd, avoid)
     hit = jax.tree.map(jax.lax.stop_gradient, hit)
     normal = jax.lax.stop_gradient(normal)
-    texcoord = jax.lax.stop_gradient(texcoord)
-    hitpos = ro + hit.t[:, None] * rd
-    sign = -dot(rd, normal)
-    normal = jnp.where(sign[:, None] < 0, -normal, normal)
-    material = fetch_material(scene, mtlid, texcoord)
+    tex_s = jax.lax.stop_gradient(tex_s)
+    tex_t = jax.lax.stop_gradient(tex_t)
+    hitpos = ro + rd * hit.t
+    sign = -vdot(rd, normal)
+    normal = vwhere(sign < 0, -normal, normal)
+    material = fetch_material(scene, mtlid, tex_s, tex_t)
     return hit, hitpos, normal, sign, material
 
 
 def path_trace(scene, ro, rd, uniforms):
-    '''Trace [N] rays to completion.  uniforms: [N, PATH_DIMS] with dims
-    0-1 reserved for the caller's lens jitter.  Returns radiance [N, 3].'''
-    n = ro.shape[0]
-    result = jnp.zeros((n, 3))
-    throughput = jnp.ones((n, 3))
-    last_brdf_pdf = jnp.zeros(n)
-    avoid = jnp.full((n,), -1, jnp.int32)
-    alive = jnp.ones(n, bool)
+    '''Trace [N] rays to completion.  ro, rd: V3 rows; uniforms:
+    [PATH_DIMS, N] with dims 0-1 reserved for the caller's lens jitter.
+    Returns radiance as a V3 of [N] rows.'''
+    n_sh = ro.x.shape
+    zero = jnp.zeros(n_sh)
+    result = V3(zero, zero, zero)
+    one = jnp.ones(n_sh)
+    throughput = V3(one, one, one)
+    last_brdf_pdf = zero
+    avoid = jnp.full(n_sh, -1, jnp.int32)
+    alive = jnp.ones(n_sh, bool)
 
     for depth in range(MAX_DEPTH):
-        rd = normalize(rd)
+        rd = vnormalize(rd)
         hit, hitpos, normal, sign, material = _cast_and_shade(scene, ro, rd, avoid)
 
         # direct light hit with MIS (reference path.py:31-35)
         lit = lights_hit(scene.lights, ro, rd)
         lit_vis = lit['hit'] & (~hit.hit | (lit['dis'] < hit.t))
         mis = power_heuristic(last_brdf_pdf, lit['pdf'])
-        result += jnp.where((alive & lit_vis)[:, None],
-                            throughput * mis[:, None] * lit['color'], 0.0)
+        result = result + vwhere(alive & lit_vis,
+                                 throughput * lit['color'] * mis, 0.0)
 
         # environment light on miss, then the lane dies (path.py:37-39)
         miss = ~hit.hit
-        result += jnp.where((alive & miss)[:, None],
-                            throughput * world_at(scene, rd), 0.0)
+        result = result + vwhere(alive & miss,
+                                 throughput * world_at(scene, rd), 0.0)
 
         live = alive & ~miss
 
         # next-event estimation (path.py:48-56)
-        u_nee = uniforms[:, 2 + 6 * depth: 5 + 6 * depth]
-        li = lights_sample(scene.lights, hitpos, u_nee)
+        li = lights_sample(scene.lights, hitpos,
+                           uniforms[2 + 6 * depth], uniforms[3 + 6 * depth],
+                           uniforms[4 + 6 * depth])
         occ = cast_any(hitpos, li['dir'], scene.tri_w2b, hit.index, li['dis'])
         brdf_clr = disney_eval(material, normal, sign, -rd, li['dir'])
-        brdf_pdf = vavg(brdf_clr)
+        brdf_pdf = vavg3(brdf_clr)
         mis2 = power_heuristic(li['pdf'], brdf_pdf)
-        nee = (mis2[:, None] * li['color'] * brdf_clr
-               * dot_or_zero(normal, li['dir'])[:, None])
-        nee_ok = live & ~occ & jnp.any(li['color'] > 0.0, axis=-1)
-        result += jnp.where(nee_ok[:, None], throughput * nee, 0.0)
+        nee = li['color'] * brdf_clr * (mis2 * vdot_or_zero(normal, li['dir']))
+        nee_ok = live & ~occ & ((li['color'].x > 0.0) | (li['color'].y > 0.0)
+                                | (li['color'].z > 0.0))
+        result = result + vwhere(nee_ok, throughput * nee, 0.0)
 
         # BSDF bounce (path.py:58-62)
-        u_bsdf = uniforms[:, 5 + 6 * depth: 8 + 6 * depth]
-        outdir, pdf, color = disney_sample(material, normal, sign, -rd, u_bsdf)
-        throughput = jnp.where(live[:, None], throughput * color, throughput)
-        ro = jnp.where(live[:, None], hitpos, ro)
-        rd = jnp.where(live[:, None], outdir, rd)
+        outdir, pdf, color = disney_sample(
+            material, normal, sign, -rd,
+            uniforms[5 + 6 * depth], uniforms[6 + 6 * depth],
+            uniforms[7 + 6 * depth])
+        throughput = vwhere(live, throughput * color, throughput)
+        ro = vwhere(live, hitpos, ro)
+        rd = vwhere(live, outdir, rd)
         avoid = jnp.where(live, hit.index, avoid)
         last_brdf_pdf = jnp.where(live, pdf, last_brdf_pdf)
-        alive = live & jnp.any(throughput > 0.0, axis=-1) \
-            & jnp.any(rd != 0.0, axis=-1)
+        alive = live \
+            & ((throughput.x > 0.0) | (throughput.y > 0.0)
+               | (throughput.z > 0.0)) \
+            & ((rd.x != 0.0) | (rd.y != 0.0) | (rd.z != 0.0))
 
     return result
 
@@ -150,7 +145,7 @@ def render_sample(scene, film, sample_index, x0=0, y0=0, full_res=None):
     renderer (path.py:95-128) and shard_map device sharding, because the
     NDC mapping and the per-pixel Sobol rotation only depend on global
     pixel ids.'''
-    _, nx, ny, _ = film.shape
+    _, _, nx, ny = film.shape
     fnx, fny = full_res if full_res is not None else (nx, ny)
     ii, jj = jnp.meshgrid(x0 + jnp.arange(nx), y0 + jnp.arange(ny),
                           indexing='ij')
@@ -158,13 +153,12 @@ def render_sample(scene, film, sample_index, x0=0, y0=0, full_res=None):
     jj = jj.reshape(-1)
     u = sample_dims(sample_index, ii, jj, PATH_DIMS)
 
-    x = (ii.astype(jnp.float32) + u[:, 0]) / fnx * 2.0 - 1.0
-    y = (jj.astype(jnp.float32) + u[:, 1]) / fny * 2.0 - 1.0
+    x = (ii.astype(jnp.float32) + u[0]) / fnx * 2.0 - 1.0
+    y = (jj.astype(jnp.float32) + u[1]) / fny * 2.0 - 1.0
     ro, rd = camera_rays(scene.cam_v2w, x, y)
 
-    radiance = path_trace(scene, ro, rd, u)
-    rgbw = jnp.concatenate([radiance, jnp.ones_like(radiance[:, :1])], axis=-1)
-    return film_add(film, 0, rgbw.reshape(nx, ny, 4))
+    rad = path_trace(scene, ro, rd, u)
+    return film_add(film, 0, rad.x, rad.y, rad.z, jnp.ones_like(rad.x))
 
 
 @functools.partial(jax.jit, static_argnames=('spp',), donate_argnames=('film',))

@@ -11,4 +11,5 @@ Both implement the same contract:
     cast_any(ro, rd, scene_tris, avoid, tmax) -> occluded mask
 '''
 
-from ptina_tpu.intersect.brute import Hit, cast_closest, cast_any  # noqa: F401
+from ptina_tpu.intersect.brute import Hit  # noqa: F401
+from ptina_tpu.intersect.dispatch import cast_closest, cast_any  # noqa: F401

@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ptina_tpu.utils.mathutils import EPS, INF
+from ptina_tpu.utils.vec import V3
 
 __all__ = ['Hit', 'cast_closest', 'cast_any', 'TILE_F']
 
@@ -45,14 +46,16 @@ class Hit:
     hit: jnp.ndarray    # [N] bool
     t: jnp.ndarray      # [N] f32 (INF on miss)
     index: jnp.ndarray  # [N] i32 (-1 on miss)
-    uv: jnp.ndarray     # [N, 2] f32 barycentric (u=weight of v1, v=of v2)
+    u: jnp.ndarray      # [N] f32 barycentric weight of v1
+    v: jnp.ndarray      # [N] f32 barycentric weight of v2
 
 
 def _homog(ro, rd):
-    one = jnp.ones_like(ro[..., :1])
+    '''V3 rays -> homogeneous [N, 4] row matrices for the cast matmul.'''
+    one = jnp.ones_like(ro.x)
     zero = jnp.zeros_like(one)
-    return (jnp.concatenate([ro, one], axis=-1),
-            jnp.concatenate([rd, zero], axis=-1))
+    return (jnp.stack([ro.x, ro.y, ro.z, one], axis=-1),
+            jnp.stack([rd.x, rd.y, rd.z, zero], axis=-1))
 
 
 def _pad_tiles(tri_w2b, tile):
@@ -86,10 +89,10 @@ def _tile_test(o4, d4, m_tile, base, avoid):
 
 @functools.partial(jax.jit, static_argnames=('tile',))
 def cast_closest(ro, rd, tri_w2b, avoid, tile=TILE_F):
-    '''Nearest-hit cast.  ro, rd: [N, 3] (rd normalized); tri_w2b:
+    '''Nearest-hit cast.  ro, rd: V3 of [N] rows (rd normalized); tri_w2b:
     [F, 3, 4] (F padded so degenerate padding rows never hit);
     avoid: [N] i32 face index to skip (-1 = none).'''
-    n = ro.shape[0]
+    n = ro.x.shape[0]
     tile = min(tile, tri_w2b.shape[0])
     tri_w2b, f = _pad_tiles(tri_w2b, tile)
     o4, d4 = _homog(ro, rd)
@@ -113,7 +116,7 @@ def cast_closest(ro, rd, tri_w2b, avoid, tile=TILE_F):
     init = (jnp.full((n,), INF), jnp.full((n,), -1, jnp.int32),
             jnp.zeros((n, 2)))
     (t, idx, uv), _ = jax.lax.scan(body, init, (tiles, bases))
-    return Hit(hit=t < INF, t=t, index=idx, uv=uv)
+    return Hit(hit=t < INF, t=t, index=idx, u=uv[:, 0], v=uv[:, 1])
 
 
 @functools.partial(jax.jit, static_argnames=('tile',))
@@ -132,5 +135,5 @@ def cast_any(ro, rd, tri_w2b, avoid, tmax, tile=TILE_F):
 
     tiles = tri_w2b.reshape(f // tile, tile, 3, 4)
     bases = jnp.arange(f // tile, dtype=jnp.int32) * tile
-    occ, _ = jax.lax.scan(body, jnp.zeros(ro.shape[0], bool), (tiles, bases))
+    occ, _ = jax.lax.scan(body, jnp.zeros(ro.x.shape[0], bool), (tiles, bases))
     return occ

@@ -7,6 +7,10 @@ Mosaic kernels don't run there and interpret mode is slow.  The choice is
 made at trace time from jax.default_backend(), so each jit cache entry
 gets the right implementation with no runtime cost.
 
+All entry points speak SoA: rays are V3 component rows, results are
+dense [N] rows / V3 — nothing here materializes a minor-axis-3 array
+(see utils/vec.py for why that matters on TPU).
+
 `cast_shaded` is the preferred closest-hit entry: on TPU it returns the
 winner's interpolated shading attributes from the same kernel pass
 (normals/uvs/material id), eliminating the per-ray attribute gathers that
@@ -16,7 +20,7 @@ dominate the XLA profile.
 import jax
 import jax.numpy as jnp
 
-from ptina_tpu.utils.mathutils import normalize
+from ptina_tpu.utils.vec import V3, vnormalize
 from ptina_tpu.intersect import brute
 from ptina_tpu.intersect.pallas_cast import (
     pallas_cast_closest, pallas_cast_any, pallas_cast_shade, MAX_VMEM_FACES,
@@ -29,13 +33,19 @@ def _use_pallas(nfaces):
     return jax.default_backend() == 'tpu' and nfaces <= MAX_VMEM_FACES
 
 
+def _as_v3(a):
+    return a if isinstance(a, V3) else V3.from_array(jnp.asarray(a))
+
+
 def cast_closest(ro, rd, tri_w2b, avoid):
+    ro, rd = _as_v3(ro), _as_v3(rd)
     if _use_pallas(tri_w2b.shape[0]):
         return pallas_cast_closest(ro, rd, tri_w2b, avoid)
     return brute.cast_closest(ro, rd, tri_w2b, avoid)
 
 
 def cast_any(ro, rd, tri_w2b, avoid, tmax):
+    ro, rd = _as_v3(ro), _as_v3(rd)
     if _use_pallas(tri_w2b.shape[0]):
         return pallas_cast_any(ro, rd, tri_w2b, avoid, tmax)
     return brute.cast_any(ro, rd, tri_w2b, avoid, tmax)
@@ -43,21 +53,26 @@ def cast_any(ro, rd, tri_w2b, avoid, tmax):
 
 def cast_shaded(scene, ro, rd, avoid):
     '''Closest hit + shading attributes.
-    Returns (hit, normal [N,3] unit (not yet two-sided-flipped),
-    texcoord [N,2], mtlid [N] i32 (-1 on miss/defaults)).'''
+    Returns (hit, normal V3 unit (not yet two-sided-flipped),
+    tex_s [N], tex_t [N], mtlid [N] i32 (-1 on miss/defaults)).'''
+    ro, rd = _as_v3(ro), _as_v3(rd)
     if _use_pallas(scene.tri_w2b.shape[0]):
         hit, attrs = pallas_cast_shade(ro, rd, scene.tri_w2b, avoid,
                                        scene.tri_attrs)
-        normal = normalize(attrs[:, 0:3])
-        texcoord = attrs[:, 3:5]
-        mtlid = jnp.round(attrs[:, 5]).astype(jnp.int32)
+        normal = vnormalize(V3(attrs[0], attrs[1], attrs[2]))
+        tex_s, tex_t = attrs[3], attrs[4]
+        mtlid = jnp.round(attrs[5]).astype(jnp.int32)
         mtlid = jnp.where(hit.hit, mtlid, -1)
-        return hit, normal, texcoord, mtlid
+        return hit, normal, tex_s, tex_t, mtlid
     hit = brute.cast_closest(ro, rd, scene.tri_w2b, avoid)
     idx = jnp.maximum(hit.index, 0)
-    w = jnp.stack([1.0 - hit.uv[:, 0] - hit.uv[:, 1],
-                   hit.uv[:, 0], hit.uv[:, 1]], axis=-1)
-    normal = normalize(jnp.einsum('nk,nkc->nc', w, scene.tri_nrm[idx]))
-    texcoord = jnp.einsum('nk,nkc->nc', w, scene.tri_uv[idx])
+    w0 = 1.0 - hit.u - hit.v
+    nrm = scene.tri_nrm[idx]  # [N, 3, 3] gather (CPU path only)
+    uv = scene.tri_uv[idx]
+    normal = vnormalize(V3.from_array(
+        nrm[:, 0] * w0[:, None] + nrm[:, 1] * hit.u[:, None]
+        + nrm[:, 2] * hit.v[:, None]))
+    tex = (uv[:, 0] * w0[:, None] + uv[:, 1] * hit.u[:, None]
+           + uv[:, 2] * hit.v[:, None])
     mtlid = jnp.where(hit.hit, scene.tri_mtl[idx], -1)
-    return hit, normal, texcoord, mtlid
+    return hit, normal, tex[:, 0], tex[:, 1], mtlid

@@ -268,5 +268,4 @@ def lbvh_traverse(bvh, tri_w2b, ro, rd, avoid):
 
     sp, stack, bt, bi, bu, bv = jax.lax.while_loop(
         cond, body, (sp, stack, best_t, best_i, best_u, best_v))
-    return Hit(hit=bi >= 0, t=bt, index=bi,
-               uv=jnp.stack([bu, bv], axis=-1))
+    return Hit(hit=bi >= 0, t=bt, index=bi, u=bu, v=bv)

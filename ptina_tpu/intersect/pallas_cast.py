@@ -130,16 +130,19 @@ def _shade_kernel(o4_ref, d4_ref, avoid_ref, m0_ref, m1_ref, m2_ref,
 
 
 def _prep(ro, rd, avoid, tr):
-    '''Transpose rays to lane-major homogeneous form, pad N to tr.'''
-    n = ro.shape[0]
+    '''Stack V3 ray rows into lane-major homogeneous [4, N], pad N to tr.
+    (With SoA rays this is a concat of dense rows — no [N, 4] transpose.)'''
+    n = ro.x.shape[0]
     npad = -n % tr
-    o4 = jnp.concatenate([ro, jnp.ones_like(ro[:, :1])], axis=1)
-    d4 = jnp.concatenate([rd, jnp.zeros_like(rd[:, :1])], axis=1)
+    one = jnp.ones_like(ro.x)
+    zero = jnp.zeros_like(one)
+    o4 = jnp.stack([ro.x, ro.y, ro.z, one])
+    d4 = jnp.stack([rd.x, rd.y, rd.z, zero])
     if npad:
-        o4 = jnp.pad(o4, ((0, npad), (0, 0)))
-        d4 = jnp.pad(d4, ((0, npad), (0, 0)), constant_values=0.0)
+        o4 = jnp.pad(o4, ((0, 0), (0, npad)))
+        d4 = jnp.pad(d4, ((0, 0), (0, npad)), constant_values=0.0)
         avoid = jnp.pad(avoid, (0, npad), constant_values=-1)
-    return o4.T, d4.T, avoid[None, :], n, n + npad
+    return o4, d4, avoid[None, :], n, n + npad
 
 
 def _rows(tri_w2b):
@@ -177,10 +180,8 @@ def pallas_cast_closest(ro, rd, tri_w2b, avoid):
             jax.ShapeDtypeStruct((1, ntotal), jnp.float32),
         ],
     )(o4t, d4t, avoid2, m0, m1, m2)
-    t = t[0, :n]
-    idx = idx[0, :n]
-    uv = jnp.stack([u[0, :n], v[0, :n]], axis=-1)
-    return Hit(hit=idx >= 0, t=t, index=idx, uv=uv)
+    return Hit(hit=idx[0, :n] >= 0, t=t[0, :n], index=idx[0, :n],
+               u=u[0, :n], v=v[0, :n])
 
 
 @jax.jit
@@ -208,7 +209,7 @@ def pallas_cast_any(ro, rd, tri_w2b, avoid, tmax):
 def pallas_cast_shade(ro, rd, tri_w2b, avoid, corner_attrs):
     '''Closest hit with fused attribute interpolation.
     corner_attrs: [3*C, F] (corner-major channels).  Returns
-    (Hit, attrs [N, C]).'''
+    (Hit, attrs [C, N] — dense per-channel rows).'''
     f = tri_w2b.shape[0]
     assert f <= MAX_VMEM_FACES
     c3 = corner_attrs.shape[0]
@@ -234,5 +235,5 @@ def pallas_cast_shade(ro, rd, tri_w2b, avoid, corner_attrs):
         ],
     )(o4t, d4t, avoid2, m0, m1, m2, corner_attrs)
     hit = Hit(hit=idx[0, :n] >= 0, t=t[0, :n], index=idx[0, :n],
-              uv=jnp.stack([u[0, :n], v[0, :n]], axis=-1))
-    return hit, attrs[:, :n].T
+              u=u[0, :n], v=v[0, :n])
+    return hit, attrs[:, :n]

@@ -9,9 +9,11 @@ every lane and the per-lane result selected by the stream-split decision
 masks — the TPU-native counterpart of the reference's `Choice` control
 flow (disney.py:136-231, materials/__init__.py:21-48).
 
-Parameters arrive as a dict of per-lane arrays (basecolor [..,3], the 11
-scalars [..]).  Derived quantities (tint/spec/sheen colors, alphas)
-mirror the reference ctor (disney.py:41-50).
+Representation: colors and directions are SoA V3 rows (see utils/vec.py);
+the 11 scalar parameters are dense [..] rows.  Everything below is pure
+elementwise arithmetic — one XLA fusion, no padded minor axes, no
+reductions.  Derived quantities (tint/spec/sheen colors, alphas) mirror
+the reference ctor (disney.py:41-50).
 
 Numerical policy: every division is guarded *before* dividing (the
 "double where" pattern) so unselected lanes stay finite — this is what
@@ -20,9 +22,10 @@ keeps jax.grad clean through the shader.
 
 import jax.numpy as jnp
 
-from ptina_tpu.utils.mathutils import (
-    EPS, PI, clamp, lerp, dot, dot_or_zero, normalize, reflect, refract,
-    safe_sqrt, spherical, tanframe, vavg,
+from ptina_tpu.utils.mathutils import EPS, PI, lerp, safe_sqrt
+from ptina_tpu.utils.vec import (
+    V3, vdot, vdot_or_zero, vnormalize, vlerp, vwhere, vavg3, vreflect,
+    vrefract, vtanframe, vspherical,
 )
 from ptina_tpu.materials import choice_split
 from ptina_tpu.materials.microfacet import (
@@ -41,18 +44,20 @@ def _sd(num, den, eps=1e-8):
 
 def disney_derive(p):
     '''Derived terms of the reference ctor (disney.py:41-50).
-    p: dict with basecolor [..,3] and 11 scalar params [..].
-    Returns a new dict with tintcolor/speccolor/sheencolor/alpha/ccalpha.'''
+    p: dict with basecolor (V3 or [.., 3] array) and 11 scalar params [..].
+    Returns a new dict with tintcolor/speccolor/sheencolor/alpha/ccalpha,
+    basecolor normalized to V3.'''
     basecolor = p['basecolor']
-    lum = dot(basecolor, jnp.asarray([0.3, 0.6, 0.1], basecolor.dtype))
-    tint = jnp.where((lum > EPS)[..., None],
-                     basecolor / jnp.maximum(lum, EPS)[..., None],
-                     jnp.ones_like(basecolor))
-    mix = lerp(p['specularTint'][..., None], jnp.ones_like(tint), tint)
-    spec = lerp(p['metallic'][..., None],
-                p['specular'][..., None] * 0.08 * mix, basecolor)
-    sheen = lerp(p['sheenTint'][..., None], jnp.ones_like(tint), tint)
+    if not isinstance(basecolor, V3):
+        basecolor = V3.from_array(jnp.asarray(basecolor))
+    lum = 0.3 * basecolor.x + 0.6 * basecolor.y + 0.1 * basecolor.z
+    inv_lum = 1.0 / jnp.maximum(lum, EPS)
+    tint = vwhere(lum > EPS, basecolor * inv_lum, 1.0)
+    mix = vlerp(p['specularTint'], V3.full_like(tint, (1.0, 1.0, 1.0)), tint)
+    spec = vlerp(p['metallic'], mix * (p['specular'] * 0.08), basecolor)
+    sheen = vlerp(p['sheenTint'], V3.full_like(tint, (1.0, 1.0, 1.0)), tint)
     out = dict(p)
+    out['basecolor'] = basecolor
     out['tintcolor'] = tint
     out['speccolor'] = spec
     out['sheencolor'] = sheen
@@ -71,15 +76,15 @@ def _etas(p, sign):
 
 def disney_eval(p, normal, sign, indir, outdir):
     '''BRDF value (reference brdf(), disney.py:52-106).
-    p: derived param dict; normal/indir/outdir [..,3]; sign [..].
-    Returns [..,3].'''
+    p: derived param dict; normal/indir/outdir V3; sign [..].
+    Returns V3.'''
     etai, etao = _etas(p, sign)
 
-    halfdir = normalize(indir + outdir)
-    cosi = dot(indir, normal)
-    coso = dot(outdir, normal)
-    cosh = dot_or_zero(halfdir, normal)
-    cosoh = dot_or_zero(halfdir, outdir)
+    halfdir = vnormalize(indir + outdir)
+    cosi = vdot(indir, normal)
+    coso = vdot(outdir, normal)
+    cosh = vdot_or_zero(halfdir, normal)
+    cosoh = vdot_or_zero(halfdir, outdir)
 
     alpha = p['alpha']
     basecolor = p['basecolor']
@@ -90,9 +95,9 @@ def disney_eval(p, normal, sign, indir, outdir):
     fdf = dielectric_fresnel(etao, etai, cosoh)
 
     # --- transmission side (coso < 0, disney.py:66-72) ---
-    transmit_b = (1.0 / PI) * basecolor * ((1.0 - fdf) * ds)[..., None]
-    below = transmit_b * ((1.0 - metallic) * transmission)[..., None]
-    below = jnp.where((cosi >= 0.0)[..., None], below, 0.0)
+    transmit_b = basecolor * ((1.0 / PI) * (1.0 - fdf) * ds)
+    below = transmit_b * ((1.0 - metallic) * transmission)
+    below = vwhere(cosi >= 0.0, below, 0.0)
 
     # --- reflection side (disney.py:74-104) ---
     fi = schlick_fresnel(cosi)
@@ -105,32 +110,30 @@ def disney_eval(p, normal, sign, indir, outdir):
     ss = 1.25 * (fss * (_sd(1.0, cosi + coso) - 0.5) + 0.5)
 
     foh = schlick_fresnel(cosoh)
-    fsheen = (foh * p['sheen'])[..., None] * p['sheencolor']
+    fsheen = p['sheencolor'] * (foh * p['sheen'])
 
-    fs = lerp(foh[..., None], p['speccolor'], jnp.ones_like(basecolor))
+    fs = vlerp(foh, p['speccolor'], 1.0)
     gs = smith_ggx(cosi, alpha) * smith_ggx(coso, alpha)
 
     dr = gtr1(cosh, p['ccalpha'])
     gr = smith_ggx(cosi, 0.25) * smith_ggx(coso, 0.25)
     fr = lerp(foh, 0.04, 1.0)
 
-    diffuse = ((1.0 / PI) * lerp(p['subsurface'], fd, ss)[..., None]
-               * basecolor + fsheen)
-    specular = (gs * ds)[..., None] * fs \
-        + (0.25 * p['clearcoat'] * gr * fr * dr)[..., None]
-    transmit = (1.0 / PI) * (fdf * ds)[..., None] * basecolor
+    diffuse = basecolor * ((1.0 / PI) * lerp(p['subsurface'], fd, ss)) + fsheen
+    specular = fs * (gs * ds) + (0.25 * p['clearcoat'] * gr * fr * dr)
+    transmit = basecolor * ((1.0 / PI) * fdf * ds)
 
-    above = (diffuse * ((1.0 - metallic) * (1.0 - transmission))[..., None]
-             + transmit * ((1.0 - metallic) * transmission)[..., None]
-             + specular * (1.0 - transmission)[..., None])
+    above = (diffuse * ((1.0 - metallic) * (1.0 - transmission))
+             + transmit * ((1.0 - metallic) * transmission)
+             + specular * (1.0 - transmission))
 
-    return jnp.where((coso < 0.0)[..., None], below, above)
+    return vwhere(coso < 0.0, below, above)
 
 
-def disney_sample(p, normal, sign, indir, samp):
+def disney_sample(p, normal, sign, indir, su, sv, sw):
     '''Importance-sample a bounce direction (reference bounce(),
-    disney.py:114-233).  samp: [.., 3] uniforms (z drives lobe choice).
-    Returns (outdir [..,3], pdf [..], color [..,3]); invalid samples have
+    disney.py:114-233).  su/sv/sw: [..] uniforms (sw drives lobe choice).
+    Returns (outdir V3, pdf [..], color V3); invalid samples have
     pdf == 0 and color == 0.'''
     etai, etao = _etas(p, sign)
     eta = etai / etao
@@ -140,54 +143,51 @@ def disney_sample(p, normal, sign, indir, samp):
     transmission = p['transmission']
     alpha = p['alpha']
 
-    cosi_s = dot(indir, normal)
+    cosi_s = vdot(indir, normal)
     fi = schlick_fresnel(cosi_s)
-    fs_color = lerp(fi[..., None], p['speccolor'], jnp.ones_like(basecolor))
+    fs_color = vlerp(fi, p['speccolor'], 1.0)
 
     # --- stream-split lobe decisions (disney.py:128-136) ---
-    specrate = lerp(transmission, lerp(metallic, vavg(fs_color), 1.0), 1.0)
+    specrate = lerp(transmission, lerp(metallic, vavg3(fs_color), 1.0), 1.0)
     specrate = lerp(specrate, 0.1, 1.0)
     coatrate_raw = 0.04 * p['clearcoat']
     coatrate = jnp.where(coatrate_raw != 0.0,
                          lerp(coatrate_raw, 0.1, 1.0), 0.0)
 
-    take_coat, w1, pdf_c = choice_split(samp[..., 2], coatrate)
+    take_coat, w1, pdf_c = choice_split(sw, coatrate)
     take_spec_r, w2, pdf_s = choice_split(w1, specrate)
     take_spec = ~take_coat & take_spec_r
     take_diff = ~take_coat & ~take_spec_r
     take_trans_r, w3, pdf_t = choice_split(w2, transmission)
 
-    # Tangent frame kept as separate vectors — a stacked [..,3,3] frame
-    # plus einsum materializes minor-axis-padded tiles on TPU (~1 GB at
-    # 512x512); the elementwise form fuses away entirely.
-    tan, bitan = tanframe(normal)
-    sx, sy = samp[..., 0], samp[..., 1]
+    # Tangent frame as separate vectors — elementwise frame application
+    # fuses; an [..,3,3] matrix + einsum would materialize padded tiles.
+    tan, bitan = vtanframe(normal)
 
     def to_world(local):
-        return (tan * local[..., 0:1] + bitan * local[..., 1:2]
-                + normal * local[..., 2:3])
+        return tan * local.x + bitan * local.y + normal * local.z
 
     # ---------------- clearcoat lobe (disney.py:136-157) ----------------
     cc_alpha = p['ccalpha']
-    h_cc = to_world(sample_gtr1(sx, sy, cc_alpha))
-    out_cc = reflect(-indir, h_cc)
-    coso_cc = dot(out_cc, normal)
-    cosh_cc = dot_or_zero(h_cc, normal)
-    cosoh_cc = dot_or_zero(h_cc, out_cc)
+    h_cc = to_world(sample_gtr1(su, sv, cc_alpha))
+    out_cc = vreflect(-indir, h_cc)
+    coso_cc = vdot(out_cc, normal)
+    cosh_cc = vdot_or_zero(h_cc, normal)
+    cosoh_cc = vdot_or_zero(h_cc, out_cc)
     ok_cc = cosoh_cc > 0.0
     dr = gtr1(cosh_cc, cc_alpha)
     fr = lerp(schlick_fresnel(cosoh_cc), 0.04, 1.0)
     partial_cc = p['clearcoat'] * fr * _sd(coso_cc, cosoh_cc)
     pdf_cc = jnp.where(ok_cc, dr * partial_cc, 0.0)
     col_cc_s = jnp.where(ok_cc, _sd(partial_cc, pdf_c), 0.0)
-    col_cc = jnp.repeat(col_cc_s[..., None], 3, axis=-1)
+    col_cc = V3(col_cc_s, col_cc_s, col_cc_s)
 
     # ---------------- specular lobe (disney.py:159-202) ----------------
-    h_sp = to_world(sample_gtr2(sx, sy, alpha))
-    out_sp = reflect(-indir, h_sp)
-    coso_sp = dot_or_zero(out_sp, normal)
-    cosh_sp = dot_or_zero(h_sp, normal)
-    cosoh_sp = dot_or_zero(h_sp, out_sp)
+    h_sp = to_world(sample_gtr2(su, sv, alpha))
+    out_sp = vreflect(-indir, h_sp)
+    coso_sp = vdot_or_zero(out_sp, normal)
+    cosh_sp = vdot_or_zero(h_sp, normal)
+    cosoh_sp = vdot_or_zero(h_sp, out_sp)
     ok_sp = (cosoh_sp > 0.0) & (coso_sp > 0.0) & (cosh_sp > 0.0)
     ds = gtr2(cosh_sp, alpha)
 
@@ -197,39 +197,41 @@ def disney_sample(p, normal, sign, indir, samp):
     take_refl_r, _w4, pdf_r = choice_split(w3, reflrate)
     # reflected transmission ray
     pdf_sp_trefl = ds * fdf
-    col_sp_trefl = basecolor * _sd(fdf * transmission, pdf_c * pdf_s * pdf_t * pdf_r)[..., None]
+    col_sp_trefl = basecolor * _sd(fdf * transmission,
+                                   pdf_c * pdf_s * pdf_t * pdf_r)
     # refracted transmission ray
-    has_rf, out_rf = refract(-indir, h_sp, eta)
+    has_rf, out_rf = vrefract(-indir, h_sp, eta)
     pdf_sp_trefr = jnp.where(has_rf, ds * (1.0 - fdf), 0.0)
-    col_sp_trefr = jnp.where(
-        has_rf[..., None],
-        basecolor * _sd((1.0 - fdf) * transmission, pdf_c * pdf_s * pdf_t * pdf_r)[..., None],
+    col_sp_trefr = vwhere(
+        has_rf,
+        basecolor * _sd((1.0 - fdf) * transmission,
+                        pdf_c * pdf_s * pdf_t * pdf_r),
         0.0)
     # non-transmission GGX reflection (disney.py:190-198)
     foh = schlick_fresnel(cosoh_sp)
-    fs2 = lerp(foh[..., None], p['speccolor'], jnp.ones_like(basecolor))
+    fs2 = vlerp(foh, p['speccolor'], 1.0)
     partial_sp = 0.5 * _sd(1.0, cosoh_sp * smith_ggx(coso_sp, alpha))
-    pdf_sp_plain = ds * vavg(fs2) * partial_sp
-    col_sp_plain = fs2 * _sd(partial_sp * (1.0 - transmission), pdf_c * pdf_s * pdf_t)[..., None]
+    pdf_sp_plain = ds * vavg3(fs2) * partial_sp
+    col_sp_plain = fs2 * _sd(partial_sp * (1.0 - transmission),
+                             pdf_c * pdf_s * pdf_t)
 
-    out_spec = jnp.where(take_trans_r[..., None],
-                         jnp.where(take_refl_r[..., None], out_sp, out_rf),
-                         out_sp)
+    out_spec = vwhere(take_trans_r, vwhere(take_refl_r, out_sp, out_rf),
+                      out_sp)
     pdf_spec = jnp.where(take_trans_r,
                          jnp.where(take_refl_r, pdf_sp_trefl, pdf_sp_trefr),
                          pdf_sp_plain)
-    col_spec = jnp.where(take_trans_r[..., None],
-                         jnp.where(take_refl_r[..., None], col_sp_trefl, col_sp_trefr),
-                         col_sp_plain)
+    col_spec = vwhere(take_trans_r, vwhere(take_refl_r, col_sp_trefl,
+                                           col_sp_trefr),
+                      col_sp_plain)
     pdf_spec = jnp.where(ok_sp, pdf_spec, 0.0)
-    col_spec = jnp.where(ok_sp[..., None], col_spec, 0.0)
+    col_spec = vwhere(ok_sp, col_spec, 0.0)
 
     # ---------------- diffuse lobe (disney.py:204-231) ----------------
-    out_df = to_world(spherical(safe_sqrt(sx), sy))
-    half_df = normalize(indir + out_df)
-    cosi_df = dot(indir, normal)
-    coso_df = dot(out_df, normal)
-    cosoh_df = dot_or_zero(half_df, out_df)
+    out_df = to_world(vspherical(safe_sqrt(su), sv))
+    half_df = vnormalize(indir + out_df)
+    cosi_df = vdot(indir, normal)
+    coso_df = vdot(out_df, normal)
+    cosoh_df = vdot_or_zero(half_df, out_df)
     fi_d = schlick_fresnel(cosi_df)
     fo_d = schlick_fresnel(coso_df)
     fd90 = 0.5 + 2.0 * cosoh_df ** 2 * p['roughness']
@@ -237,18 +239,15 @@ def disney_sample(p, normal, sign, indir, samp):
     fss90 = cosoh_df ** 2 * p['roughness']
     fss = lerp(fi_d, 1.0, fss90) * lerp(fo_d, 1.0, fss90)
     ss = 1.25 * (fss * (_sd(1.0, cosi_df + coso_df) - 0.5) + 0.5)
-    fsheen = (schlick_fresnel(cosoh_df) * p['sheen'])[..., None] * p['sheencolor']
-    diffuse = ((1.0 / PI) * lerp(p['subsurface'], fd, ss)[..., None]
-               * basecolor + fsheen)
+    fsheen = p['sheencolor'] * (schlick_fresnel(cosoh_df) * p['sheen'])
+    diffuse = basecolor * ((1.0 / PI) * lerp(p['subsurface'], fd, ss)) + fsheen
     pdf_df = jnp.full_like(cosi_df, 1.0 / PI)
-    col_df = diffuse * PI * _sd((1.0 - metallic) * (1.0 - transmission),
-                                pdf_c * pdf_s)[..., None]
+    col_df = diffuse * (PI * _sd((1.0 - metallic) * (1.0 - transmission),
+                                 pdf_c * pdf_s))
 
     # ---------------- select by lane decision ----------------
-    outdir = jnp.where(take_coat[..., None], out_cc,
-                       jnp.where(take_spec[..., None], out_spec, out_df))
+    outdir = vwhere(take_coat, out_cc, vwhere(take_spec, out_spec, out_df))
     pdf = jnp.where(take_coat, pdf_cc,
                     jnp.where(take_spec, pdf_spec, pdf_df))
-    color = jnp.where(take_coat[..., None], col_cc,
-                      jnp.where(take_spec[..., None], col_spec, col_df))
+    color = vwhere(take_coat, col_cc, vwhere(take_spec, col_spec, col_df))
     return outdir, pdf, color

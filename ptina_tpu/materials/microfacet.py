@@ -2,11 +2,13 @@
 Microfacet theory helpers, vectorized (reference: ptina/materials/microfacet.py).
 All functions are elementwise over any batch shape and numerically guarded
 so masked-out lanes stay finite (required for clean autodiff).
+Lobe samplers return local-frame directions as SoA V3 rows.
 '''
 
 import jax.numpy as jnp
 
 from ptina_tpu.utils.mathutils import PI, clamp, spherical, normalize, safe_sqrt
+from ptina_tpu.utils.vec import vspherical
 
 __all__ = ['schlick_fresnel', 'dielectric_fresnel', 'gtr1', 'gtr2',
            'smith_ggx', 'sample_gtr1', 'sample_gtr2', 'sample_gtr2_vnor']
@@ -63,14 +65,14 @@ def sample_gtr1(u, v, alpha):
     a2 = jnp.maximum(alpha * alpha, 1e-12)
     h = safe_sqrt(jnp.maximum(1.0 - a2 ** (1.0 - u), 0.0) /
                   jnp.maximum(1.0 - a2, 1e-12))
-    return spherical(h, v)
+    return vspherical(h, v)
 
 
 def sample_gtr2(u, v, alpha):
     '''Importance-sample the GGX lobe, local frame (reference:
     microfacet.py:74-77).'''
     h = safe_sqrt((1.0 - u) / jnp.maximum(1.0 - u * (1.0 - alpha * alpha), 1e-12))
-    return spherical(h, v)
+    return vspherical(h, v)
 
 
 def sample_gtr2_vnor(ve, u, v, alpha):

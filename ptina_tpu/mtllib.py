@@ -7,48 +7,64 @@ factor is multiplied by the texture sample when a texture is bound
 (ParameterPair.get, mtllib.py:30-38).  mtlid == -1 selects the defaults
 row (the table's last row, see scene.make_materials).
 
-The per-lane factor fetch is a [N, M+1] one-hot contraction with the
-packed [M+1, 48] factor table — one small matmul instead of 12 gathers.
-Texture multiplies fall back to gathers, executed only when the scene has
-any textured material.
+The factor fetch is unrolled over the (small, static) material table:
+each parameter row becomes a chain of elementwise selects over dense [N]
+rows — no gathers, no one-hot matmuls, no padded [N, 48] intermediates —
+so the whole fetch fuses into the shading pipeline.  Texture multiplies
+fall back to gathers, executed only when the scene has any textures.
 '''
 
 import jax.numpy as jnp
 
 from ptina_tpu.scene import MATERIAL_PARAMS
+from ptina_tpu.utils.vec import V3, vwhere
 from ptina_tpu.texture import sample_texture
 from ptina_tpu.materials.disney import disney_derive
 
 __all__ = ['fetch_material']
 
 
-def fetch_material(scene, mtlid, texcoord):
-    '''mtlid [N] i32, texcoord [N, 2] -> derived Disney param dict of
-    per-lane arrays (basecolor [N,3], scalars [N]).'''
+def fetch_material(scene, mtlid, tex_s, tex_t):
+    '''mtlid [N] i32, tex_s/tex_t [N] -> derived Disney param dict of
+    per-lane rows (basecolor V3, scalars [N]).'''
     mats = scene.materials
-    m1 = mats.fac.shape[0]  # M + 1
+    m1 = mats.fac.shape[0]  # M + 1 (last row = defaults for mtlid -1)
     row = jnp.where(mtlid < 0, m1 - 1, mtlid)
 
-    oh = jnp.equal(row[:, None], jnp.arange(m1)[None, :]).astype(scene.tri_pos.dtype)
-    fac = jnp.dot(oh, mats.fac.reshape(m1, 12 * 4),
-                  preferred_element_type=jnp.float32).reshape(-1, 12, 4)
+    # unrolled select over the static-size material table: start from the
+    # defaults row and overwrite where the lane's id matches (the table
+    # values are traced so texture/material grads still flow; only the
+    # table SIZE is static)
+    base = V3(jnp.broadcast_to(mats.fac[m1 - 1, 0, 0], row.shape),
+              jnp.broadcast_to(mats.fac[m1 - 1, 0, 1], row.shape),
+              jnp.broadcast_to(mats.fac[m1 - 1, 0, 2], row.shape))
+    scal = [jnp.broadcast_to(mats.fac[m1 - 1, p, 0], row.shape)
+            for p in range(1, 12)]
+    for m in range(m1 - 1):
+        sel = row == m
+        base = vwhere(sel, V3(mats.fac[m, 0, 0], mats.fac[m, 0, 1],
+                              mats.fac[m, 0, 2]), base)
+        for p in range(1, 12):
+            scal[p - 1] = jnp.where(sel, mats.fac[m, p, 0], scal[p - 1])
 
-    # texture-modulated parameters (no-op when untextured; the texture id
-    # select is a one-hot contraction, not a per-lane gather — see
-    # lights._contract for why)
-    texids = jnp.dot(oh, mats.tex.astype(jnp.float32),
-                     preferred_element_type=jnp.float32)
-    texids = jnp.round(texids).astype(jnp.int32)  # [N, 12]
-    has_tex = texids >= 0
-    if scene.textures.data.shape[0] > 1 or scene.textures.data.shape[1] > 1:
-        s, t = texcoord[:, 0], texcoord[:, 1]
+    # texture-modulated parameters (textured scenes only; the texture
+    # fetch is a real gather so it is gated on the static atlas shape)
+    if scene.textures.data.shape[1] > 1 or scene.textures.data.shape[2] > 1:
+        per_lane_tex = scene.materials.tex[row]  # [N, 12] gather (small)
+        has_tex = per_lane_tex >= 0
         for p_i in range(12):
-            tid = jnp.maximum(texids[:, p_i], 0)
-            texval = sample_texture(scene.textures, tid, s, t)
-            fac = fac.at[:, p_i, :].multiply(
-                jnp.where(has_tex[:, p_i][:, None], texval, 1.0))
+            tid = jnp.maximum(per_lane_tex[:, p_i], 0)
+            texval = sample_texture(scene.textures, tid, tex_s, tex_t)
+            if p_i == 0:
+                base = V3(
+                    base.x * jnp.where(has_tex[:, 0], texval[..., 0], 1.0),
+                    base.y * jnp.where(has_tex[:, 0], texval[..., 1], 1.0),
+                    base.z * jnp.where(has_tex[:, 0], texval[..., 2], 1.0))
+            else:
+                scal[p_i - 1] = scal[p_i - 1] * jnp.where(
+                    has_tex[:, p_i], texval[..., 0], 1.0)
 
-    params = {'basecolor': fac[:, 0, :3]}
+    params = {'basecolor': base}
     for p_i, name in enumerate(MATERIAL_PARAMS[1:], start=1):
-        params[name] = fac[:, p_i, 0]
+        params[name] = scal[p_i - 1]
     return disney_derive(params)

@@ -26,25 +26,25 @@ def make_mesh(devices=None, axis='rays'):
 
 
 def render_sharded(scene, film, sample_index, mesh, spp=1):
-    '''Render with the film row-sharded over the mesh.  film: [P, nx, ny, 4]
+    '''Render with the film row-sharded over the mesh.  film: [P, 4, nx, ny]
     with nx divisible by the mesh size.  Returns the updated film (still
     sharded; gather happens implicitly at readout).'''
     axis = mesh.axis_names[0]
-    nx = film.shape[1]
+    nx = film.shape[2]
     ndev = mesh.devices.size
     assert nx % ndev == 0, 'film rows must divide the mesh'
     shard_nx = nx // ndev
 
     @functools.partial(
         shard_map, mesh=mesh, check_vma=False,
-        in_specs=(P(), P(None, axis, None, None), P()),
-        out_specs=P(None, axis, None, None))
+        in_specs=(P(), P(None, None, axis, None), P()),
+        out_specs=P(None, None, axis, None))
     def _render(scene_, film_, sample_index_):
         x0 = jax.lax.axis_index(axis) * shard_nx
 
         def body(s, f):
             return render_sample(scene_, f, sample_index_ + s,
-                                 x0=x0, full_res=(nx, film.shape[2]))
+                                 x0=x0, full_res=(nx, film.shape[3]))
         return jax.lax.fori_loop(0, spp, body, film_)
 
     return _render(scene, film, jnp.asarray(sample_index, jnp.int32))
@@ -59,13 +59,13 @@ def train_step_sharded(scene, film0, target, sample_index, mesh, lr=0.05):
     multi-chip dry-run compiles (gradients w.r.t. the Disney material
     factors; BVH/intersection results are detached per the design).'''
     axis = mesh.axis_names[0]
-    nx = film0.shape[1]
+    nx = film0.shape[2]
     ndev = mesh.devices.size
     shard_nx = nx // ndev
 
     @functools.partial(
         shard_map, mesh=mesh, check_vma=False,
-        in_specs=(P(), P(), P(None, axis, None, None),
+        in_specs=(P(), P(), P(None, None, axis, None),
                   P(axis, None, None), P()),
         out_specs=(P(), P()))
     def _step(mat_fac, scene_, film_, target_, sample_index_):
@@ -74,7 +74,7 @@ def train_step_sharded(scene, film0, target, sample_index, mesh, lr=0.05):
         def local_loss(fac):
             sc = scene_.replace(materials=scene_.materials.replace(fac=fac))
             film = render_sample(sc, film_, sample_index_,
-                                 x0=x0, full_res=(nx, film0.shape[2]))
+                                 x0=x0, full_res=(nx, film0.shape[3]))
             img = film_to_image(film)[..., :3]
             return jnp.mean((img - target_) ** 2)
 

@@ -75,18 +75,26 @@ def sobol_block(sample_index, ndims):
 
 
 def pixel_rotation(pix_i, pix_j, ndims):
-    '''Per-pixel Cranley-Patterson rotation offsets [..., ndims] in [0,1).
+    '''Per-pixel Cranley-Patterson rotation offsets [ndims, ...] in [0,1).
     Deterministic in (pixel, dimension); constant across sample indices so
-    the rotated sequence stays low-discrepancy per pixel.'''
+    the rotated sequence stays low-discrepancy per pixel.
+
+    Dimension-major layout: each uniforms[d] is a dense [...]-shaped row
+    (pixel axes minor), so per-dimension slices in the integrator are
+    contiguous — a pixel-major [..., ndims] array would pad its minor
+    ndims axis to 128 lanes when materialized on TPU.'''
     base = wanghash2(pix_i, pix_j)
     dims = jnp.arange(ndims, dtype=jnp.uint32)
-    h = wanghash(base[..., None] + dims * jnp.uint32(0x9e3779b9))
+    dims = dims.reshape((ndims,) + (1,) * jnp.ndim(base))
+    h = wanghash(base[None] + dims * jnp.uint32(0x9e3779b9))
     return h.astype(jnp.float32) * jnp.float32(1.0 / 4294967296.0)
 
 
 def sample_dims(sample_index, pix_i, pix_j, ndims):
     '''Per-pixel uniforms for one sample: rotated Sobol.
-    pix_i/pix_j: [...] int arrays; returns [..., ndims] in [0,1).'''
+    pix_i/pix_j: [...] int arrays; returns [ndims, ...] in [0,1)
+    (dimension-major; see pixel_rotation).'''
     pt = sobol_block(sample_index, ndims)  # [ndims]
-    rot = pixel_rotation(pix_i, pix_j, ndims)  # [..., ndims]
+    pt = pt.reshape((ndims,) + (1,) * jnp.ndim(pix_i))
+    rot = pixel_rotation(pix_i, pix_j, ndims)  # [ndims, ...]
     return jnp.mod(pt + rot, 1.0)

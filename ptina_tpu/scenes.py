@@ -14,7 +14,8 @@ import numpy as np
 
 from ptina_tpu.scene import make_scene, LIGHT_AREA
 
-__all__ = ['BENCH_CAMERA', 'cornell_box', 'cornell_monkey', 'matball']
+__all__ = ['BENCH_CAMERA', 'cornell_box', 'cornell_monkey', 'matball',
+           'cornell_box_vertices']
 
 # reference exams/benchmark.py:18-23
 BENCH_CAMERA = np.array([
@@ -141,6 +142,18 @@ def cornell_box(**kw):
     kw.setdefault('lights', [_ceiling_light()])
     kw.setdefault('world_fac', (0.05, 0.05, 0.05, 1.0))
     return make_scene(verts, mtlids, materials=_materials(), **kw)
+
+
+def cornell_box_vertices():
+    '''The cornell-two-boxes geometry in worker-API form:
+    (vertices [F*3, 8], mtlids [F], materials list) — for
+    worker.load_model / load_materials consumers.'''
+    shell, mtl = _cornell_shell()
+    tall = _box_tris((-0.75, 1.2, -0.6), (0.6, 1.2, 0.6), yaw=np.radians(18))
+    short = _box_tris((0.75, 0.6, 0.7), (0.6, 0.6, 0.6), yaw=np.radians(-17))
+    tris = np.concatenate([shell, tall, short])
+    mtlids = np.asarray(mtl + [0] * 12 + [0] * 12, np.int32)
+    return _mesh_to_vertices(tris), mtlids, _materials()
 
 
 def _uv_sphere(center, radius, nu=59, nv=9):

@@ -2,9 +2,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ptina_tpu.utils.mathutils import normalize, dot, spherical, PI
+from ptina_tpu.utils.mathutils import normalize, PI
+from ptina_tpu.utils.vec import V3, vdot
 from ptina_tpu.materials.disney import disney_derive, disney_eval, disney_sample
 from ptina_tpu.scene import DEFAULT_MATERIAL
+
+
+def _v3(a):
+    return V3.from_array(jnp.asarray(a, jnp.float32))
 
 
 def _params(n, **over):
@@ -30,9 +35,10 @@ def test_eval_finite_and_nonnegative_diffuse():
     outdir = normalize(jnp.asarray(rng.randn(n, 3), jnp.float32)
                        * jnp.asarray([1, 1, 0.3]) + jnp.asarray([0, 0, 0.8]))
     p = _params(n, metallic=0.0, transmission=0.0, roughness=0.6)
-    sign = dot(indir, normal)
+    normal, indir, outdir = _v3(normal), _v3(indir), _v3(outdir)
+    sign = vdot(indir, normal)
     val = disney_eval(p, normal, sign, indir, outdir)
-    v = np.asarray(val)
+    v = np.asarray(val.to_array())
     assert np.isfinite(v).all()
     assert (v >= -1e-5).all()
 
@@ -47,8 +53,11 @@ def test_sample_outdirs_normalized_and_finite():
     for over in [dict(), dict(metallic=1.0), dict(transmission=1.0, roughness=0.1),
                  dict(clearcoat=1.0), dict(roughness=0.05)]:
         p = _params(n, **over)
-        outdir, pdf, color = disney_sample(p, normal, jnp.ones(n), indir, samp)
-        o, pd, c = np.asarray(outdir), np.asarray(pdf), np.asarray(color)
+        outdir, pdf, color = disney_sample(
+            p, _v3(normal), jnp.ones(n), _v3(indir),
+            samp[:, 0], samp[:, 1], samp[:, 2])
+        o, pd, c = (np.asarray(outdir.to_array()), np.asarray(pdf),
+                    np.asarray(color.to_array()))
         assert np.isfinite(o).all() and np.isfinite(pd).all() and np.isfinite(c).all()
         lens = np.linalg.norm(o, axis=1)
         valid = pd > 0
@@ -66,8 +75,10 @@ def test_diffuse_white_furnace():
     samp = jnp.asarray(rng.rand(n, 3), jnp.float32)
     p = _params(n, basecolor=1.0, roughness=0.0, specular=0.0, sheen=0.0,
                 subsurface=0.0)
-    outdir, pdf, color = disney_sample(p, normal, jnp.ones(n), indir, samp)
-    c = np.asarray(color)
+    outdir, pdf, color = disney_sample(
+        p, _v3(normal), jnp.ones(n), _v3(indir),
+        samp[:, 0], samp[:, 1], samp[:, 2])
+    c = np.asarray(color.to_array())
     # diffuse lobe carries the Disney Fd terms; mean reflectance stays
     # within a sane band around 1 for white albedo
     mean = c.mean(0)
@@ -83,10 +94,14 @@ def test_sample_eval_pdf_consistency_diffuse():
     indir = normalize(jnp.asarray([[0.3, 0.1, 0.9]] * n))
     samp = jnp.asarray(rng.rand(n, 3), jnp.float32)
     p = _params(n, roughness=0.4)
-    outdir, pdf, color = disney_sample(p, normal, jnp.ones(n), indir, samp)
+    normal, indir = _v3(normal), _v3(indir)
+    outdir, pdf, color = disney_sample(
+        p, normal, jnp.ones(n), indir, samp[:, 0], samp[:, 1], samp[:, 2])
     # evaluate brdf explicitly at the sampled directions
     val = disney_eval(p, normal, jnp.ones(n), indir, outdir)
-    cos = np.maximum(np.asarray(dot(outdir, normal)), 0)
+    val = val.to_array()
+    cos = np.maximum(np.asarray(vdot(outdir, normal)), 0)
+    color = color.to_array()
     est_direct = np.asarray(color).mean(0)
     # diffuse-only check: select diffuse lanes (pdf == 1/pi)
     mask = np.isclose(np.asarray(pdf), 1 / np.pi, atol=1e-4)
@@ -105,8 +120,10 @@ def test_transmission_refracts():
     samp = jnp.asarray(np.stack([rng.rand(n) * 0.2, rng.rand(n),
                                  np.full(n, 0.5)], 1), jnp.float32)
     p = _params(n, transmission=1.0, roughness=0.0, metallic=0.0)
-    outdir, pdf, color = disney_sample(p, normal, jnp.ones(n), indir, samp)
-    o = np.asarray(outdir)
+    outdir, pdf, color = disney_sample(
+        p, _v3(normal), jnp.ones(n), _v3(indir),
+        samp[:, 0], samp[:, 1], samp[:, 2])
+    o = np.asarray(outdir.to_array())
     pd = np.asarray(pdf)
     # some lanes must refract through (negative z)
     assert (o[pd > 0, 2] < 0).any()

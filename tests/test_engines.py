@@ -42,7 +42,7 @@ def test_mlt_runs_and_accumulates():
     state, film = render_mlt(scene, state, film, steps=3)
     f = np.asarray(film)
     assert np.isfinite(f).all()
-    assert f[0, ..., 3].sum() > 0  # splats landed
+    assert f[0, 3].sum() > 0  # splats landed (weight channel)
     img = np.asarray(film_to_image(film))
     assert np.isfinite(img).all()
 

@@ -57,7 +57,8 @@ def test_cast_matches_numpy_oracle():
     assert (got_i == ri).mean() > 0.98  # ties on shared edges may differ
     same = got_i == ri
     assert np.allclose(got_t[hits & same], rt[hits & same], rtol=1e-3, atol=1e-4)
-    assert np.allclose(np.asarray(hit.uv)[hits & same], ruv[hits & same],
+    got_uv = np.stack([np.asarray(hit.u), np.asarray(hit.v)], -1)
+    assert np.allclose(got_uv[hits & same], ruv[hits & same],
                        rtol=1e-2, atol=1e-3)
 
 

@@ -3,6 +3,11 @@ import jax.numpy as jnp
 
 from ptina_tpu.scene import make_lights, LIGHT_POINT, LIGHT_AREA
 from ptina_tpu.lights import lights_hit, lights_sample
+from ptina_tpu.utils.vec import V3
+
+
+def _v3(a):
+    return V3.from_array(jnp.asarray(a, jnp.float32))
 from ptina_tpu.film import new_film, film_add, film_splat, film_to_image
 from ptina_tpu.geometry import ray_aabb, ray_sphere, ray_rect
 
@@ -41,7 +46,7 @@ def test_lights_hit_point():
     lights = make_lights()  # default point light at (1,2,3), r=0.5
     ro = jnp.asarray([[1.0, 2.0, 0.0]])
     rd = jnp.asarray([[0.0, 0.0, 1.0]])
-    out = lights_hit(lights, ro, rd)
+    out = lights_hit(lights, _v3(ro), _v3(rd))
     assert bool(out['hit'][0])
     assert abs(float(out['dis'][0]) - 2.5) < 1e-4
     # pdf = dis^2 / (pi r^2)
@@ -53,26 +58,28 @@ def test_lights_sample_area_cosine():
     lights = make_lights([dict(color=(10, 10, 10), pos=(0, 0, 2), size=1.0,
                                type=LIGHT_AREA, axes=axes)])
     hitpos = jnp.asarray([[0.0, 0.0, 0.0]])
-    samp = jnp.asarray([[0.5, 0.5, 0.1]])  # center of the rect
-    out = lights_sample(lights, hitpos, samp)
+    # samp (0.5, 0.5, 0.1): center of the rect
+    out = lights_sample(lights, _v3(hitpos), jnp.asarray([0.5]),
+                        jnp.asarray([0.5]), jnp.asarray([0.1]))
     assert abs(float(out['dis'][0]) - 2.0) < 1e-5
     # pdf = dis^2/area = 4/4 = 1; color = 10/1 * cos(normal=+z, dir=+z)=10
     assert abs(float(out['pdf'][0]) - 1.0) < 1e-5
-    assert np.allclose(np.asarray(out['color'][0]), 10.0, atol=1e-4)
+    assert np.allclose(np.asarray(out['color'].to_array()[0]), 10.0, atol=1e-4)
 
 
 def test_lights_sample_empty_pool():
     lights = make_lights([], default_light=False)
-    out = lights_sample(lights, jnp.zeros((4, 3)), jnp.full((4, 3), 0.5))
+    half = jnp.full((4,), 0.5)
+    out = lights_sample(lights, _v3(jnp.zeros((4, 3))), half, half, half)
     assert (np.asarray(out['pdf']) == 0).all()
-    assert (np.asarray(out['color']) == 0).all()
+    assert (np.asarray(out['color'].to_array()) == 0).all()
 
 
 def test_film_accumulate_and_image():
     film = new_film(4, 4)
-    val = jnp.ones((4, 4, 4))
-    film = film_add(film, 0, val)
-    film = film_add(film, 0, val * jnp.asarray([3.0, 3.0, 3.0, 1.0]))
+    one = jnp.ones((4, 4))
+    film = film_add(film, 0, one, one, one, one)
+    film = film_add(film, 0, 3.0 * one, 3.0 * one, 3.0 * one, one)
     img = np.asarray(film_to_image(film, 0))
     assert np.allclose(img[..., :3], 2.0)  # (1+3)/2 samples
     # untouched pass renders debug pink
@@ -84,7 +91,7 @@ def test_film_splat_scatter():
     film = new_film(8, 8)
     xi = jnp.asarray([1, 1, 5], jnp.int32)
     yi = jnp.asarray([2, 2, 7], jnp.int32)
-    rgbw = jnp.ones((3, 4))
-    film = film_splat(film, 0, xi, yi, rgbw)
-    assert float(film[0, 1, 2, 0]) == 2.0
-    assert float(film[0, 5, 7, 0]) == 1.0
+    one = jnp.ones((3,))
+    film = film_splat(film, 0, xi, yi, one, one, one, one)
+    assert float(film[0, 0, 1, 2]) == 2.0
+    assert float(film[0, 0, 5, 7]) == 1.0

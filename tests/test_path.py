@@ -69,5 +69,5 @@ def test_tile_offsets_compose():
     full = render_sample(scene, new_film(16, 8), 0)
     top = render_sample(scene, new_film(8, 8), 0, x0=0, full_res=(16, 8))
     bot = render_sample(scene, new_film(8, 8), 0, x0=8, full_res=(16, 8))
-    glued = jnp.concatenate([top, bot], axis=1)
+    glued = jnp.concatenate([top, bot], axis=2)
     assert np.allclose(np.asarray(full), np.asarray(glued), atol=1e-5)

@@ -24,10 +24,10 @@ def test_block_has_skip():
 
 def test_pixel_rotation_decorrelates():
     rot = np.asarray(pixel_rotation(jnp.arange(100), jnp.zeros(100, jnp.int32), 8))
-    assert rot.shape == (100, 8)
+    assert rot.shape == (8, 100)  # dimension-major (see pixel_rotation doc)
     assert (rot >= 0).all() and (rot < 1).all()
     # distinct pixels get distinct rotations
-    assert len(np.unique(rot[:, 0].round(6))) > 90
+    assert len(np.unique(rot[0].round(6))) > 90
 
 
 def test_sample_dims_stratification():
