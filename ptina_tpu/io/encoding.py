@@ -31,7 +31,9 @@ def encode_numpy_array(arr, level=9):
 def decode_numpy_array(text):
     '''ascii text block -> array.'''
     lines = text.strip().split('\n')
-    dtype_str, shape_str = lines[0].split('|')
+    # dtype.str itself may start with '|' (byte-order-free dtypes like
+    # '|u1'), so split the header on the LAST separator only
+    dtype_str, shape_str = lines[0].rsplit('|', 1)
     shape = tuple(int(s) for s in shape_str.split(',')) if shape_str else ()
     raw = zlib.decompress(base64.b85decode(''.join(lines[1:])))
     return np.frombuffer(raw, dtype=np.dtype(dtype_str)).reshape(shape).copy()
