@@ -30,12 +30,11 @@ def brute_trace(scene, ro, rd, uniforms):
     one = jnp.ones(n_sh)
     result = V3(zero, zero, zero)
     throughput = V3(one, one, one)
-    avoid = jnp.full(n_sh, -1, jnp.int32)
-    alive = jnp.ones(n_sh, bool)
-
-    for depth in range(MAX_DEPTH):
+    def body(carry, u):
+        ro, rd, throughput, result, avoid, alive = carry
         rd = vnormalize(rd)
-        hit, hitpos, normal, sign, material = _cast_and_shade(scene, ro, rd, avoid)
+        hit, hitpos, normal, sign, material = _cast_and_shade(
+            scene, ro, rd, avoid)
 
         lit = lights_hit(scene.lights, ro, rd)
         lit_vis = lit['hit'] & (~hit.hit | (lit['dis'] < hit.t))
@@ -47,10 +46,8 @@ def brute_trace(scene, ro, rd, uniforms):
                                  throughput * world_at(scene, rd), 0.0)
         live = alive & ~miss
 
-        outdir, pdf, color = disney_sample(
-            material, normal, sign, -rd,
-            uniforms[5 + 6 * depth], uniforms[6 + 6 * depth],
-            uniforms[7 + 6 * depth])
+        outdir, pdf, color = disney_sample(material, normal, sign, -rd,
+                                           u[3], u[4], u[5])
         throughput = vwhere(live, throughput * color, throughput)
         ro = vwhere(live, hitpos, ro)
         rd = vwhere(live, outdir, rd)
@@ -59,8 +56,15 @@ def brute_trace(scene, ro, rd, uniforms):
             & ((throughput.x > 0.0) | (throughput.y > 0.0)
                | (throughput.z > 0.0)) \
             & ((rd.x != 0.0) | (rd.y != 0.0) | (rd.z != 0.0))
+        return (ro, rd, throughput, result, avoid, alive), None
 
-    return result
+    # one scanned bounce body, like engine/path.path_trace (compile time)
+    bounce_u = uniforms[2:2 + 6 * MAX_DEPTH].reshape(
+        (MAX_DEPTH, 6) + uniforms.shape[1:])
+    carry = (ro, rd, throughput, result,
+             jnp.full(n_sh, -1, jnp.int32), jnp.ones(n_sh, bool))
+    carry, _ = jax.lax.scan(body, carry, bounce_u)
+    return carry[3]
 
 
 def render_brute_sample(scene, film, sample_index):

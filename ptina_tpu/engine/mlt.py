@@ -51,10 +51,12 @@ class MLTState:
 def mlt_init(key, nchains=2 ** 18, ndims=PATH_DIMS):
     '''Fresh chains (reference reset(), mltpath.py:30-36).'''
     kx, knext = jax.random.split(key)
-    zero = jnp.zeros((nchains,))
+    # three distinct buffers: render_mlt donates the state, and donating
+    # one shared zeros buffer for x/y/z trips "donate the same buffer twice"
     return MLTState(
         x=jax.random.uniform(kx, (ndims, nchains)),
-        l=V3(zero, zero, zero),
+        l=V3(jnp.zeros((nchains,)), jnp.zeros((nchains,)),
+             jnp.zeros((nchains,))),
         key=knext,
     )
 

@@ -73,66 +73,78 @@ def _cast_and_shade(scene, ro, rd, avoid):
     return hit, hitpos, normal, sign, material
 
 
+def _bounce(scene, carry, u):
+    '''One wavefront bounce: the body the reference runs per iteration of
+    its in-kernel depth loop (ptina/engine/path.py:25-62).  carry is the
+    per-lane path state; u is this bounce's [6, N] uniform rows
+    (3 for the light sample, 3 for the BSDF sample).'''
+    ro, rd, throughput, result, last_brdf_pdf, avoid, alive = carry
+    rd = vnormalize(rd)
+    hit, hitpos, normal, sign, material = _cast_and_shade(scene, ro, rd, avoid)
+
+    # direct light hit with MIS (reference path.py:31-35)
+    lit = lights_hit(scene.lights, ro, rd)
+    lit_vis = lit['hit'] & (~hit.hit | (lit['dis'] < hit.t))
+    mis = power_heuristic(last_brdf_pdf, lit['pdf'])
+    result = result + vwhere(alive & lit_vis,
+                             throughput * lit['color'] * mis, 0.0)
+
+    # environment light on miss, then the lane dies (path.py:37-39)
+    miss = ~hit.hit
+    result = result + vwhere(alive & miss,
+                             throughput * world_at(scene, rd), 0.0)
+
+    live = alive & ~miss
+
+    # next-event estimation (path.py:48-56)
+    li = lights_sample(scene.lights, hitpos, u[0], u[1], u[2])
+    occ = cast_any(hitpos, li['dir'], scene.tri_w2b, hit.index, li['dis'])
+    brdf_clr = disney_eval(material, normal, sign, -rd, li['dir'])
+    brdf_pdf = vavg3(brdf_clr)
+    mis2 = power_heuristic(li['pdf'], brdf_pdf)
+    nee = li['color'] * brdf_clr * (mis2 * vdot_or_zero(normal, li['dir']))
+    nee_ok = live & ~occ & ((li['color'].x > 0.0) | (li['color'].y > 0.0)
+                            | (li['color'].z > 0.0))
+    result = result + vwhere(nee_ok, throughput * nee, 0.0)
+
+    # BSDF bounce (path.py:58-62)
+    outdir, pdf, color = disney_sample(material, normal, sign, -rd,
+                                       u[3], u[4], u[5])
+    throughput = vwhere(live, throughput * color, throughput)
+    ro = vwhere(live, hitpos, ro)
+    rd = vwhere(live, outdir, rd)
+    avoid = jnp.where(live, hit.index, avoid)
+    last_brdf_pdf = jnp.where(live, pdf, last_brdf_pdf)
+    alive = live \
+        & ((throughput.x > 0.0) | (throughput.y > 0.0)
+           | (throughput.z > 0.0)) \
+        & ((rd.x != 0.0) | (rd.y != 0.0) | (rd.z != 0.0))
+    return (ro, rd, throughput, result, last_brdf_pdf, avoid, alive)
+
+
 def path_trace(scene, ro, rd, uniforms):
     '''Trace [N] rays to completion.  ro, rd: V3 rows; uniforms:
     [PATH_DIMS, N] with dims 0-1 reserved for the caller's lens jitter.
-    Returns radiance as a V3 of [N] rows.'''
+    Returns radiance as a V3 of [N] rows.
+
+    Bounces advance under lax.scan (not a Python unroll): every bounce
+    is identical modulo its 6 uniform rows, so the XLA graph contains
+    ONE bounce body instead of MAX_DEPTH copies — this is what keeps
+    wavefront compile times sane (a 5x unroll of cast+shade+NEE made
+    single renders take minutes of XLA:CPU compile).'''
     n_sh = ro.x.shape
     zero = jnp.zeros(n_sh)
     result = V3(zero, zero, zero)
     one = jnp.ones(n_sh)
     throughput = V3(one, one, one)
-    last_brdf_pdf = zero
-    avoid = jnp.full(n_sh, -1, jnp.int32)
-    alive = jnp.ones(n_sh, bool)
+    carry = (ro, rd, throughput, result, zero,
+             jnp.full(n_sh, -1, jnp.int32), jnp.ones(n_sh, bool))
 
-    for depth in range(MAX_DEPTH):
-        rd = vnormalize(rd)
-        hit, hitpos, normal, sign, material = _cast_and_shade(scene, ro, rd, avoid)
-
-        # direct light hit with MIS (reference path.py:31-35)
-        lit = lights_hit(scene.lights, ro, rd)
-        lit_vis = lit['hit'] & (~hit.hit | (lit['dis'] < hit.t))
-        mis = power_heuristic(last_brdf_pdf, lit['pdf'])
-        result = result + vwhere(alive & lit_vis,
-                                 throughput * lit['color'] * mis, 0.0)
-
-        # environment light on miss, then the lane dies (path.py:37-39)
-        miss = ~hit.hit
-        result = result + vwhere(alive & miss,
-                                 throughput * world_at(scene, rd), 0.0)
-
-        live = alive & ~miss
-
-        # next-event estimation (path.py:48-56)
-        li = lights_sample(scene.lights, hitpos,
-                           uniforms[2 + 6 * depth], uniforms[3 + 6 * depth],
-                           uniforms[4 + 6 * depth])
-        occ = cast_any(hitpos, li['dir'], scene.tri_w2b, hit.index, li['dis'])
-        brdf_clr = disney_eval(material, normal, sign, -rd, li['dir'])
-        brdf_pdf = vavg3(brdf_clr)
-        mis2 = power_heuristic(li['pdf'], brdf_pdf)
-        nee = li['color'] * brdf_clr * (mis2 * vdot_or_zero(normal, li['dir']))
-        nee_ok = live & ~occ & ((li['color'].x > 0.0) | (li['color'].y > 0.0)
-                                | (li['color'].z > 0.0))
-        result = result + vwhere(nee_ok, throughput * nee, 0.0)
-
-        # BSDF bounce (path.py:58-62)
-        outdir, pdf, color = disney_sample(
-            material, normal, sign, -rd,
-            uniforms[5 + 6 * depth], uniforms[6 + 6 * depth],
-            uniforms[7 + 6 * depth])
-        throughput = vwhere(live, throughput * color, throughput)
-        ro = vwhere(live, hitpos, ro)
-        rd = vwhere(live, outdir, rd)
-        avoid = jnp.where(live, hit.index, avoid)
-        last_brdf_pdf = jnp.where(live, pdf, last_brdf_pdf)
-        alive = live \
-            & ((throughput.x > 0.0) | (throughput.y > 0.0)
-               | (throughput.z > 0.0)) \
-            & ((rd.x != 0.0) | (rd.y != 0.0) | (rd.z != 0.0))
-
-    return result
+    bounce_u = uniforms[2:2 + 6 * MAX_DEPTH].reshape(
+        (MAX_DEPTH, 6) + uniforms.shape[1:])
+    carry, _ = jax.lax.scan(
+        lambda c, u: (_bounce(scene, c, u), None), carry, bounce_u)
+    return carry[3]
 
 
 def render_sample(scene, film, sample_index, x0=0, y0=0, full_res=None):

@@ -146,11 +146,18 @@ def pack_corner_attrs(tri_nrm, tri_uv, tri_mtl):
     return per_corner.transpose(1, 2, 0).reshape(18, f)
 
 
-def make_materials(materials=None, max_materials=64):
+def make_materials(materials=None, max_materials=None):
     '''Build the Materials table from a list of 12-tuples of (fac, texid)
     pairs in MATERIAL_PARAMS order (the reference's load format,
-    ptina/mtllib.py:58-77).  fac may be scalar, 3- or 4-sequence.'''
-    m = max_materials
+    ptina/mtllib.py:58-77).  fac may be scalar, 3- or 4-sequence.
+
+    Capacity defaults to the scene's material count (the reference
+    reserves 64 slots, ptina/things.py:16 — here the table is UNROLLED
+    into the shading pipeline (mtllib.fetch_material), so every unused
+    slot costs real per-bounce selects AND XLA trace/compile time; a
+    64-slot table made one wavefront render graph take minutes to
+    compile on CPU).  Pass max_materials to reserve extra slots.'''
+    m = max_materials if max_materials is not None else len(materials or [])
     fac = np.ones((m + 1, 12, 4), np.float32)
     tex = np.full((m + 1, 12), -1, np.int32)
     for p, name in enumerate(MATERIAL_PARAMS):

@@ -4,6 +4,7 @@ import jax.numpy as jnp
 from ptina_tpu.scene import precompute_tri_functionals
 from ptina_tpu.intersect.lbvh import lbvh_build, lbvh_traverse, morton3d
 from ptina_tpu.intersect.brute import cast_closest
+from ptina_tpu.utils.vec import V3
 
 
 def _random_tris(rng, nf):
@@ -53,7 +54,7 @@ def test_traverse_matches_brute():
     rd = rd / jnp.linalg.norm(rd, axis=1, keepdims=True)
     avoid = jnp.full((nr,), -1, jnp.int32)
 
-    hb = cast_closest(ro, rd, m, avoid)
+    hb = cast_closest(V3.from_array(ro), V3.from_array(rd), m, avoid)
     ht = lbvh_traverse(bvh, m, ro, rd, avoid)
     same = np.asarray(hb.index) == np.asarray(ht.index)
     assert same.mean() > 0.97  # ties on shared edges may differ

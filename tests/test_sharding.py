@@ -25,7 +25,6 @@ def test_sharded_render_matches_single_device(eight_devices):
     assert np.allclose(np.asarray(single), np.asarray(sharded), atol=1e-5)
 
 
-@pytest.mark.slow
 def test_train_step_sharded_runs_and_descends(eight_devices):
     scene = cornell_box()
     mesh = make_mesh(eight_devices)
