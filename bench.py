@@ -13,6 +13,7 @@ import json
 import time
 
 import numpy as np
+import jax.numpy as jnp
 
 
 def main():
@@ -37,10 +38,14 @@ def main():
     np.asarray(film_to_image(film))
     film = new_film(res, res)
 
+    # timed region syncs by reading back a scalar reduction of the film:
+    # block_until_ready() on a donated output can return before remote
+    # execution finishes on tunneled devices, under-measuring wildly.
     t0 = time.perf_counter()
     film = render(scene, film, 0, spp=spp)
-    film.block_until_ready()
+    checksum = float(jnp.sum(film))
     elapsed = time.perf_counter() - t0
+    assert np.isfinite(checksum)
 
     img = np.asarray(film_to_image(film))
     assert not np.isnan(img).any(), 'nan in benchmark render'

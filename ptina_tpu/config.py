@@ -35,7 +35,7 @@ class Config:
     # --- capacities (reference things.py:12-19; static pad targets) ---
     max_lights: int = 64
     max_materials: int = 64
-    pad_faces_to: int = 16
+    pad_faces_to: int = 8
 
     # --- numerics (reference common.py:32-33, sobol.py:75) ---
     eps: float = 1e-6

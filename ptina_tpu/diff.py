@@ -25,7 +25,8 @@ def render_image_diff(scene, nx, ny, sample_index=0, spp=1):
     as a traced function of the scene pytree.'''
     film = new_film(nx, ny)
     for s in range(spp):
-        film = render_sample(scene, film, sample_index + s)
+        # fused=False: gradients flow through the wavefront path only
+        film = render_sample(scene, film, sample_index + s, fused=False)
     return film_to_image(film)[..., :3]
 
 

@@ -1,0 +1,516 @@
+'''
+Fused whole-path Pallas megakernel.
+
+The wavefront integrator (engine/path.py) runs each bounce as separate
+device passes: a closest-hit Pallas cast, a shadow Pallas cast, and an
+XLA shading fusion, with the [N]-ray state round-tripping HBM between
+them.  Profiling (tools/profile_tpu.py) shows those boundaries cost
+~2 ms of the ~4.2 ms per 512x512 sample.  This module fuses the ENTIRE
+path — all MAX_DEPTH bounces: cast, direct-light MIS, NEE + shadow
+cast, Disney sampling — into ONE Pallas kernel: the triangle table,
+material table and light table live in VMEM for the whole path, per-ray
+state lives in registers/VMEM tiles, and the only HBM traffic is the
+primary rays + per-path uniforms in and the radiance out.
+
+Semantics are identical to engine/path.path_trace (same reference
+behavior: ptina/engine/path.py:17-64); tests/test_fused.py checks the
+two integrators agree ray-for-ray.  The BSDF/material/light math is the
+same code (materials/disney.py etc. are pure jnp functions, so they
+trace directly inside the kernel on [1, TR] rows).
+
+Eligibility (dispatched by engine/path.render_sample at trace time):
+TPU backend, face table <= MAX_FUSED_FACES, no textures (texture
+gathers don't vectorize inside the tile), constant environment.
+Differentiable renders use the wavefront path (no autodiff through the
+megakernel); this kernel is the fast *forward* renderer.
+'''
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ptina_tpu.utils.mathutils import EPS, INF
+from ptina_tpu.utils.vec import V3, vdot, vdot_or_zero, vnormalize, vwhere, vavg3
+from ptina_tpu.engine.path import MAX_DEPTH, PATH_DIMS, power_heuristic
+from ptina_tpu.materials.disney import disney_derive, disney_eval, disney_sample
+from ptina_tpu.scene import LIGHT_POINT, LIGHT_AREA
+from ptina_tpu.utils.mathutils import safe_sqrt
+from ptina_tpu.utils.vec import vcross, vspherical
+
+__all__ = ['MAX_FUSED_FACES', 'fused_eligible', 'fused_trace']
+
+MAX_FUSED_FACES = 1024  # [F, TR] working set must fit VMEM
+
+
+def _tr_for(f):
+    if f <= 256:
+        return 512
+    if f <= 512:
+        return 256
+    return 128
+
+
+def fused_eligible(scene):
+    '''Static (trace-time) check: can this scene use the megakernel?'''
+    untextured = (scene.textures.data.shape[1] == 1
+                  and scene.textures.data.shape[2] == 1)
+    return (jax.default_backend() == 'tpu'
+            and scene.tri_w2b.shape[0] <= MAX_FUSED_FACES
+            and untextured)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel geometry: Plücker-form ray casts.
+#
+# The generic cast evaluates a = M [o,1], b = M [d,0] per functional row
+# and then spends ~2 VPU ops per (face, ray) just to form the barycentric
+# numerators U = a1 b0 - a0 b1, V = a2 b0 - a0 b2.  But U and V are
+# BILINEAR in (o, d): U = sum_{i<j} C_ij (o_i d_j - o_j d_i) with
+# per-triangle antisymmetric coefficients C — i.e. a dot product of a
+# per-triangle 6-vector with the ray's Plücker coordinates.  So one MXU
+# matmul [5F, 14] @ [14, TR] yields U, V, W = b0-U-V, b0 and a0 for every
+# pair, and the VPU only runs the cheap tail:
+#     r = 1/b0;  t = -a0 r;  (u,v,w) = (U,V,W) r;
+#     valid = min(u,v,w) >= 0 and t > 0       (reference closed-triangle
+#     semantics: ptina/geometries.py:117-148; u,v,w >= 0 <=> u,v >= 0 and
+#     u+v <= 1)
+# Division is one approx reciprocal + one Newton step.  b0 == 0
+# (parallel rays, degenerate padding faces) makes r -> inf/nan and the
+# min()/compare chain rejects the lane — no eps test needed.
+# ---------------------------------------------------------------------------
+
+_BIG = 2 ** 30  # python int: a jnp scalar here would be a captured constant
+
+
+def _recip(x, interp=False):
+    '''~1-ulp reciprocal: hardware approximation + one Newton step.
+    (Plain division under the Pallas interpreter, where the TPU
+    reciprocal primitive has no lowering.)'''
+    if interp:
+        return 1.0 / x
+    r = pl.reciprocal(x, approx=True)
+    return r * (2.0 - x * r)
+
+
+def _uvwta(t5, q):
+    '''[5F, 14] @ [14, TR] -> U, V, W, B(=b0), A(=a0) as [F, TR].'''
+    f = t5.shape[0] // 5
+    g = jnp.dot(t5, q, preferred_element_type=jnp.float32)
+    return g[0:f], g[f:2 * f], g[2 * f:3 * f], g[3 * f:4 * f], g[4 * f:5 * f]
+
+
+def _cast_closest_k(t5, attrs, q, avoid, interp=False):
+    '''Closest hit + interpolated attributes for one ray tile.
+    Returns (t [1,TR], index [1,TR] i32 (-1 = miss), attrs [6, TR]).'''
+    U, V, W, B, A = _uvwta(t5, q)
+    r = _recip(B, interp)
+    t = A * (-r)
+    m = jnp.minimum(jnp.minimum(U * r, V * r), W * r)
+    fids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+    valid = (m >= 0.0) & (t > 0.0) & (fids != avoid)
+    ts = jnp.where(valid, t, INF)
+    tmin = jnp.min(ts, axis=0, keepdims=True)            # [1, TR]
+    cand = jnp.where(ts == tmin, fids, _BIG)
+    widx = jnp.min(cand, axis=0, keepdims=True)          # [1, TR]
+    ff = ((fids == widx) & valid).astype(jnp.float32)    # winner one-hot
+    # idx (i32) is the only hit flag returned: i1 rows cannot be
+    # re-stacked across sublane groups (Mosaic rejects the vreg cast)
+    hitm = tmin < INF
+    idx = jnp.where(hitm, widx, -1)
+    # winner barycentrics from the FINITE numerators: r is inf/nan for
+    # parallel rays and zero-padding faces, and nan * (ff == 0) would
+    # poison the sums; one per-ray division of the winner sums instead.
+    un = jnp.sum(U * ff, axis=0, keepdims=True)
+    vn = jnp.sum(V * ff, axis=0, keepdims=True)
+    bw = jnp.sum(B * ff, axis=0, keepdims=True)
+    rw = _recip(bw, interp)
+    uw = jnp.where(hitm, un * rw, 0.0)
+    vw = jnp.where(hitm, vn * rw, 0.0)
+    # [3C, F] @ [F, TR] winner gather on the MXU, then barycentric mix
+    corners = jnp.dot(attrs, ff, preferred_element_type=jnp.float32)
+    c = corners.shape[0] // 3
+    out = (corners[0 * c:1 * c] * (1.0 - uw - vw)
+           + corners[1 * c:2 * c] * uw + corners[2 * c:3 * c] * vw)
+    return tmin, idx, out
+
+
+def _cast_any_k(t5, q, avoid, tmax, interp=False):
+    '''Occlusion test for one ray tile.  Returns [1, TR] i32 (1=blocked;
+    i32 so rows can be re-stacked across sublane groups).'''
+    U, V, W, B, A = _uvwta(t5, q)
+    r = _recip(B, interp)
+    t = A * (-r)
+    m = jnp.minimum(jnp.minimum(U * r, V * r), W * r)
+    fids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+    blocked = ((m >= 0.0) & (t > 0.0) & (t < tmax) & (fids != avoid))
+    return jnp.max(blocked.astype(jnp.int32), axis=0, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel lights: same math as lights.py but reading the packed
+# [18, L] table (rows 0-2 pos, 3-5 color, 6-8/9-11/12-14 axes x/y/z,
+# 15 size, 16 type).  Kept in lockstep with lights.lights_hit /
+# lights_sample (reference ptina/light/__init__.py:51-121);
+# tests/test_fused.py guards against drift.
+# ---------------------------------------------------------------------------
+
+def _lt_v3(lt, row, l):
+    return V3(lt[row, l], lt[row + 1, l], lt[row + 2, l])
+
+
+def _sphere_t(ro, rd, center, radius2):
+    op = center - ro
+    b = vdot(op, rd)
+    det = b * b + radius2 - vdot(op, op)
+    sq = safe_sqrt(det)
+    t_near = b - sq
+    t_far = b + sq
+    t = jnp.where(t_near > EPS, t_near, jnp.where(t_far > EPS, t_far, 0.0))
+    return jnp.where(det >= 0.0, t, 0.0)
+
+
+def _rect_t(ro, rd, pos, dirx, diry):
+    nrm = vnormalize(vcross(dirx, diry))
+    nod = vdot(nrm, rd)
+    facing = nod > EPS
+    t = vdot(nrm, pos - ro) / jnp.where(facing, nod, 1.0)
+    p = ro + rd * t - pos
+    u = vdot(p, dirx) / jnp.maximum(vdot(dirx, dirx), 1e-20)
+    v = vdot(p, diry) / jnp.maximum(vdot(diry, diry), 1e-20)
+    hit = facing & (jnp.abs(u) < 1.0) & (jnp.abs(v) < 1.0)
+    return hit, jnp.where(hit, t, INF)
+
+
+def _lights_hit_k(lt, count, ro, rd):
+    # NOTE all masks are built as [1, TR] VECTORS (scalar bools broadcast
+    # into vector-bool selects lower to an i8->i1 truncation Mosaic
+    # rejects; comparing a broadcast f32/i32 row instead stays on i1).
+    L = lt.shape[1]
+    n_sh = ro.x.shape
+    found = jnp.zeros(n_sh, bool)
+    dis = jnp.full(n_sh, INF)
+    pdf = jnp.zeros(n_sh)
+    color = V3(jnp.zeros(n_sh), jnp.zeros(n_sh), jnp.zeros(n_sh))
+    countv = jnp.full(n_sh, count)
+    for l in range(L):
+        live = jnp.int32(l) < countv
+        typv = jnp.full(n_sh, lt[16, l])
+        is_point = typv == float(LIGHT_POINT)
+        is_area = typv == float(LIGHT_AREA)
+        size = lt[15, l]
+        pos = _lt_v3(lt, 0, l)
+        t_sph = _sphere_t(ro, rd, pos, size * size)
+        dirx = _lt_v3(lt, 6, l) * size
+        diry = _lt_v3(lt, 9, l) * size
+        hit_rect, t_rect = _rect_t(ro, rd, pos, dirx, diry)
+        t = jnp.where(is_point, t_sph,
+                      jnp.where(is_area & hit_rect, t_rect, 0.0))
+        area = jnp.where(is_point, jnp.pi * size * size, 4.0 * size * size)
+        valid = live & (t > 0.0) & (t < INF) & ~found
+        dis = jnp.where(valid, t, dis)
+        pdf = jnp.where(valid, t * t / jnp.maximum(area, 1e-12), pdf)
+        color = vwhere(valid, _lt_v3(lt, 3, l), color)
+        found = found | valid
+    return found, dis, pdf, color
+
+
+def _lights_sample_k(lt, count, hitpos, su, sv, sz):
+    L = lt.shape[1]
+    n_sh = hitpos.x.shape
+    cnt = jnp.maximum(count, 1)
+    idx = jnp.clip((sz * cnt.astype(su.dtype)).astype(jnp.int32), 0, cnt - 1)
+    zero = jnp.zeros(n_sh)
+    litpos = V3(zero, zero, zero)
+    nrm = V3(zero, zero, zero)
+    area = zero
+    color = V3(zero, zero, zero)
+    is_area_sel = jnp.zeros(n_sh, bool)
+    disp_pt = vspherical(su, sv)
+    lx = su * 2.0 - 1.0
+    ly = sv * 2.0 - 1.0
+    for l in range(L):
+        sel = idx == l
+        size = lt[15, l]
+        pos = _lt_v3(lt, 0, l)
+        # vector mask (see _lights_hit_k note on scalar bools)
+        is_area = jnp.full(n_sh, lt[16, l]) == float(LIGHT_AREA)
+        lp_pt = pos + disp_pt * size
+        ax_x = _lt_v3(lt, 6, l)
+        ax_y = _lt_v3(lt, 9, l)
+        ax_z = _lt_v3(lt, 12, l)
+        lp_ar = pos + (ax_x * lx + ax_y * ly) * size
+        lp = vwhere(is_area, lp_ar, lp_pt)
+        ar = jnp.where(is_area, 4.0 * size * size, jnp.pi * size * size)
+        nr = vwhere(is_area, ax_z, 0.0)
+        litpos = vwhere(sel, lp, litpos)
+        nrm = vwhere(sel, nr, nrm)
+        area = jnp.where(sel, ar, area)
+        color = vwhere(sel, _lt_v3(lt, 3, l), color)
+        # logical ops, not where(): selecting between i1 vectors lowers
+        # to an i8 select + i8->i1 trunci that Mosaic rejects
+        is_area_sel = (sel & is_area) | (~sel & is_area_sel)
+    toli = litpos - hitpos
+    dis = jnp.maximum(safe_sqrt(vdot(toli, toli)), 1e-12)
+    direction = toli * (1.0 / dis)
+    pdf = dis * dis / jnp.maximum(area, 1e-12)
+    out_color = color * (1.0 / pdf)
+    cosine = jnp.maximum(0.0, vdot(nrm, direction))
+    out_color = vwhere(is_area_sel, out_color * cosine, out_color)
+    empty = jnp.full(n_sh, count) == 0
+    return (jnp.where(empty, INF, dis), vwhere(empty, 0.0, direction),
+            jnp.where(empty, 0.0, pdf), vwhere(empty, 0.0, out_color))
+
+
+def _fetch_material_k(fac, mtlid):
+    '''Unrolled material-table fetch (same scheme as mtllib.fetch_material,
+    untextured).  fac: [14, M+1] — rows 0-2 basecolor rgb, 3-13 the 11
+    scalar params.  Returns the derived Disney param dict.'''
+    from ptina_tpu.scene import MATERIAL_PARAMS
+    m1 = fac.shape[1]
+    row = jnp.where(mtlid < 0, m1 - 1, mtlid)
+    base = V3(jnp.broadcast_to(fac[0, m1 - 1], row.shape),
+              jnp.broadcast_to(fac[1, m1 - 1], row.shape),
+              jnp.broadcast_to(fac[2, m1 - 1], row.shape))
+    scal = [jnp.broadcast_to(fac[3 + p, m1 - 1], row.shape)
+            for p in range(11)]
+    for m in range(m1 - 1):
+        sel = row == m
+        base = vwhere(sel, V3(fac[0, m], fac[1, m], fac[2, m]), base)
+        for p in range(11):
+            scal[p] = jnp.where(sel, fac[3 + p, m], scal[p])
+    params = {'basecolor': base}
+    for p, name in enumerate(MATERIAL_PARAMS[1:]):
+        params[name] = scal[p]
+    return disney_derive(params)
+
+
+# ---------------------------------------------------------------------------
+# the megakernel
+# ---------------------------------------------------------------------------
+#
+# Ray-block layout: each grid step owns RG x TR rays arranged as an
+# [RG, TR] tile (RG = 8 sublanes, TR lanes).  All per-ray math — lights,
+# material fetch, the whole Disney BSDF — runs on full (8, 128) VPU
+# granules; a [1, TR] row layout would waste 7/8 of every vector
+# instruction and drown in issue overhead (measured: the row-shaped
+# variant was ~2x slower than the wavefront it meant to beat).  The
+# casts need rays on the LANE axis against [F, TR] triangle tiles, so
+# they run per sublane group g, and the eight [1, TR] results are
+# stacked back into [RG, TR].
+
+RG = 8  # ray sublane-group rows per grid step
+
+
+def _group_q(ro, rd, g, ones1, zeros1):
+    '''Ray feature 14-vector [q, TR] for sublane group g: the 6 Plücker
+    coordinates of the homogeneous (o,1)/(d,0) pair in (i<j) order —
+    where p_i3 collapses to -d_i — then d and o themselves.'''
+    ox, oy, oz = ro.x[g:g + 1], ro.y[g:g + 1], ro.z[g:g + 1]
+    dx, dy, dz = rd.x[g:g + 1], rd.y[g:g + 1], rd.z[g:g + 1]
+    p01 = ox * dy - oy * dx
+    p02 = ox * dz - oz * dx
+    p12 = oy * dz - oz * dy
+    return jnp.concatenate([p01, p02, -dx, p12, -dy, -dz,
+                            dx, dy, dz, zeros1,
+                            ox, oy, oz, ones1], axis=0)
+
+
+def _group_cast_closest(t5, attrs, ro, rd, avoid, g, ones1, zeros1, interp):
+    '''Closest cast for sublane group g of an [RG, TR] ray tile.'''
+    q = _group_q(ro, rd, g, ones1, zeros1)
+    return _cast_closest_k(t5, attrs, q, avoid[g:g + 1], interp)
+
+
+def _group_cast_any(t5, ro, rd, avoid, tmax, g, ones1, zeros1, interp):
+    q = _group_q(ro, rd, g, ones1, zeros1)
+    return _cast_any_k(t5, q, avoid[g:g + 1], tmax[g:g + 1], interp)
+
+
+def _stack_rows(rows):
+    return jnp.concatenate(rows, axis=0)
+
+
+def _path_kernel(rays_ref, u_ref, m_all_ref, attr_ref, fac_ref,
+                 lt_ref, cnt_ref, wf_ref, r_ref, g_ref, b_ref,
+                 interp=False):
+    tr = rays_ref.shape[1]
+    rr = rays_ref[:].reshape(6, RG, tr)
+    ro = V3(rr[0], rr[1], rr[2])
+    rd = V3(rr[3], rr[4], rr[5])
+    uu = u_ref[:].reshape(PATH_DIMS, RG, tr)
+    t5 = m_all_ref[:]
+    attrs = attr_ref[:]
+    fac = fac_ref[:]
+    lt = lt_ref[:]
+    count = cnt_ref[0, 0]
+    world = V3(wf_ref[0, 0], wf_ref[0, 1], wf_ref[0, 2])
+
+    n_sh = ro.x.shape
+    zero = jnp.zeros(n_sh)
+    one = jnp.ones(n_sh)
+    ones1 = jnp.ones((1, tr))
+    zeros1 = jnp.zeros((1, tr))
+    result = V3(zero, zero, zero)
+    throughput = V3(one, one, one)
+    last_brdf_pdf = zero
+    avoid = jnp.full(n_sh, -1, jnp.int32)
+    alive = jnp.ones(n_sh, bool)
+
+    for b in range(MAX_DEPTH):
+        u = uu[2 + 6 * b:2 + 6 * (b + 1)]
+        rd = vnormalize(rd)
+
+        parts = [_group_cast_closest(t5, attrs, ro, rd, avoid, g,
+                                     ones1, zeros1, interp)
+                 for g in range(RG)]
+        t = _stack_rows([p[0] for p in parts])
+        index = _stack_rows([p[1] for p in parts])
+        hit = index >= 0
+        a6 = [_stack_rows([p[2][c:c + 1] for p in parts]) for c in range(6)]
+        normal = vnormalize(V3(a6[0], a6[1], a6[2]))
+        mtlid = jnp.where(hit, jnp.round(a6[5]).astype(jnp.int32), -1)
+        hitpos = ro + rd * t
+        sign = -vdot(rd, normal)
+        normal = vwhere(sign < 0, -normal, normal)
+        material = _fetch_material_k(fac, mtlid)
+
+        # direct light hit with MIS (reference path.py:31-35)
+        lhit, ldis, lpdf, lcolor = _lights_hit_k(lt, count, ro, rd)
+        lit_vis = lhit & (~hit | (ldis < t))
+        mis = power_heuristic(last_brdf_pdf, lpdf)
+        result = result + vwhere(alive & lit_vis,
+                                 throughput * lcolor * mis, 0.0)
+
+        # environment on miss (constant world only in the fused path)
+        miss = ~hit
+        result = result + vwhere(alive & miss, throughput * world, 0.0)
+        live = alive & ~miss
+
+        # next-event estimation (reference path.py:48-56)
+        li_dis, li_dir, li_pdf, li_color = _lights_sample_k(
+            lt, count, hitpos, u[0], u[1], u[2])
+        occ = _stack_rows([_group_cast_any(t5, hitpos, li_dir, index,
+                                           li_dis, g, ones1, zeros1, interp)
+                           for g in range(RG)]) > 0
+        brdf_clr = disney_eval(material, normal, sign, -1.0 * rd, li_dir)
+        brdf_pdf = vavg3(brdf_clr)
+        mis2 = power_heuristic(li_pdf, brdf_pdf)
+        nee = li_color * brdf_clr * (mis2 * vdot_or_zero(normal, li_dir))
+        nee_ok = live & ~occ & ((li_color.x > 0.0) | (li_color.y > 0.0)
+                                | (li_color.z > 0.0))
+        result = result + vwhere(nee_ok, throughput * nee, 0.0)
+
+        # BSDF bounce (reference path.py:58-62)
+        outdir, pdf, color = disney_sample(material, normal, sign,
+                                           -1.0 * rd, u[3], u[4], u[5])
+        throughput = vwhere(live, throughput * color, throughput)
+        ro = vwhere(live, hitpos, ro)
+        rd = vwhere(live, outdir, rd)
+        avoid = jnp.where(live, index, avoid)
+        last_brdf_pdf = jnp.where(live, pdf, last_brdf_pdf)
+        alive = live \
+            & ((throughput.x > 0.0) | (throughput.y > 0.0)
+               | (throughput.z > 0.0)) \
+            & ((rd.x != 0.0) | (rd.y != 0.0) | (rd.z != 0.0))
+
+    r_ref[:] = result.x
+    g_ref[:] = result.y
+    b_ref[:] = result.z
+
+
+def _pack_lights(lights):
+    '''[18, L] f32 light table for the kernel (see _lights_hit_k).'''
+    return jnp.concatenate([
+        lights.pos.T, lights.color.T,
+        lights.axes[:, :, 0].T, lights.axes[:, :, 1].T,
+        lights.axes[:, :, 2].T,
+        lights.size[None, :], lights.type.astype(jnp.float32)[None, :],
+        jnp.zeros((1, lights.size.shape[0]), jnp.float32),
+    ], axis=0)
+
+
+def _pack_materials(mats):
+    '''[14, M+1] f32: basecolor rgb + the 11 scalar params.'''
+    f = mats.fac
+    return jnp.concatenate([f[:, 0, 0:3].T, f[:, 1:12, 0].T], axis=0)
+
+
+_IJ = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+
+
+def _pack_tri5(tri_w2b):
+    '''[5F, 14] Plücker cast matrix from the [F, 3, 4] functionals:
+    F rows each of U-, V-, W-, b0- and a0-coefficients against the ray
+    feature vector of _group_q (see _uvwta).'''
+    m0, m1, m2 = tri_w2b[:, 0], tri_w2b[:, 1], tri_w2b[:, 2]  # [F, 4]
+
+    def anti(ma, mb):
+        # C_ij = ma_i mb_j - mb_i ma_j for i<j (antisymmetric part)
+        return jnp.stack([ma[:, i] * mb[:, j] - mb[:, i] * ma[:, j]
+                          for i, j in _IJ], axis=1)  # [F, 6]
+
+    cu = anti(m1, m0)   # U = a1 b0 - a0 b1
+    cv = anti(m2, m0)   # V = a2 b0 - a0 b2
+    z4 = jnp.zeros_like(m0)
+    z6 = jnp.zeros_like(cu)
+    r_u = jnp.concatenate([cu, z4, z4], axis=1)
+    r_v = jnp.concatenate([cv, z4, z4], axis=1)
+    r_w = jnp.concatenate([-(cu + cv), m0, z4], axis=1)  # W = b0 - U - V
+    r_b = jnp.concatenate([z6, m0, z4], axis=1)          # b0 = m0 . d4
+    r_a = jnp.concatenate([z6, z4, m0], axis=1)          # a0 = m0 . o4
+    return jnp.concatenate([r_u, r_v, r_w, r_b, r_a], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def fused_trace(scene, ro, rd, uniforms, interpret=False):
+    '''Trace [N] primary rays through the full path in one Pallas kernel.
+    Same contract as engine.path.path_trace: ro/rd V3 rows, uniforms
+    [PATH_DIMS, N]; returns radiance V3.'''
+    f = scene.tri_w2b.shape[0]
+    assert f <= MAX_FUSED_FACES
+    tr = _tr_for(f)
+    n = ro.x.shape[0]
+    block = RG * tr
+    npad = -n % block
+    one = jnp.ones_like(ro.x)
+    rays = jnp.stack([ro.x, ro.y, ro.z, rd.x, rd.y, rd.z])  # [6, N]
+    u = uniforms
+    if npad:
+        rays = jnp.pad(rays, ((0, 0), (0, npad)))
+        u = jnp.pad(u, ((0, 0), (0, npad)))
+    nb = (n + npad) // block
+
+    # per-block row-major layout: block i's rows are [6|32 channels x RG]
+    rays = rays.reshape(6, nb, RG, tr).transpose(1, 0, 2, 3) \
+               .reshape(nb * 6 * RG, tr)
+    u = u.reshape(PATH_DIMS, nb, RG, tr).transpose(1, 0, 2, 3) \
+         .reshape(nb * PATH_DIMS * RG, tr)
+
+    t5 = _pack_tri5(scene.tri_w2b)
+    attrs = scene.tri_attrs
+    fac = _pack_materials(scene.materials)
+    lt = _pack_lights(scene.lights)
+    cnt = scene.lights.count.reshape(1, 1)
+    wf = scene.world_fac.reshape(1, 4)
+
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                      memory_space=pltpu.SMEM)
+    blk = lambda rows: pl.BlockSpec((rows, tr), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+    out_sh = jax.ShapeDtypeStruct((nb * RG, tr), jnp.float32)
+    rx, gx, bx = pl.pallas_call(
+        functools.partial(_path_kernel, interp=interpret),
+        grid=(nb,),
+        in_specs=[blk(6 * RG), blk(PATH_DIMS * RG),
+                  full((5 * f, 14)), full(attrs.shape), full(fac.shape),
+                  full(lt.shape), smem((1, 1)), smem((1, 4))],
+        out_specs=[blk(RG)] * 3,
+        out_shape=[out_sh, out_sh, out_sh],
+        interpret=interpret,
+    )(rays, u, t5, attrs, fac, lt, cnt, wf)
+    return V3(rx.reshape(-1)[:n], gx.reshape(-1)[:n], bx.reshape(-1)[:n])

@@ -147,7 +147,8 @@ def path_trace(scene, ro, rd, uniforms):
     return carry[3]
 
 
-def render_sample(scene, film, sample_index, x0=0, y0=0, full_res=None):
+def render_sample(scene, film, sample_index, x0=0, y0=0, full_res=None,
+                  fused=None):
     '''Accumulate one progressive sample over the film into pass 0
     (reference PathEngine.render/do_render, path.py:75-93).
 
@@ -156,7 +157,12 @@ def render_sample(scene, film, sample_index, x0=0, y0=0, full_res=None):
     point serves whole-frame rendering, the reference's dormant tile
     renderer (path.py:95-128) and shard_map device sharding, because the
     NDC mapping and the per-pixel Sobol rotation only depend on global
-    pixel ids.'''
+    pixel ids.
+
+    fused: None = auto (use the whole-path Pallas megakernel when the
+    scene is eligible on TPU, engine/fused.py), False = force the
+    wavefront path (required under autodiff — no grad through the
+    megakernel), True = force the megakernel.'''
     _, _, nx, ny = film.shape
     fnx, fny = full_res if full_res is not None else (nx, ny)
     ii, jj = jnp.meshgrid(x0 + jnp.arange(nx), y0 + jnp.arange(ny),
@@ -169,13 +175,31 @@ def render_sample(scene, film, sample_index, x0=0, y0=0, full_res=None):
     y = (jj.astype(jnp.float32) + u[1]) / fny * 2.0 - 1.0
     ro, rd = camera_rays(scene.cam_v2w, x, y)
 
+    if fused is None or fused:
+        from ptina_tpu.engine.fused import fused_eligible, fused_trace
+        if fused or fused_eligible(scene):
+            rad = fused_trace(scene, ro, rd, u)
+            return film_add(film, 0, rad.x, rad.y, rad.z,
+                            jnp.ones_like(rad.x))
     rad = path_trace(scene, ro, rd, u)
     return film_add(film, 0, rad.x, rad.y, rad.z, jnp.ones_like(rad.x))
 
 
-@functools.partial(jax.jit, static_argnames=('spp',), donate_argnames=('film',))
+@functools.partial(jax.jit, donate_argnames=('film',))
+def _render_step(scene, film, sample_index):
+    return render_sample(scene, film, sample_index)
+
+
 def render(scene, film, start_sample, spp=1):
-    '''Render `spp` progressive samples under one jit.'''
-    def body(s, f):
-        return render_sample(scene, f, start_sample + s)
-    return jax.lax.fori_loop(0, spp, body, film)
+    '''Render `spp` progressive samples.
+
+    One jitted single-sample step dispatched `spp` times from Python —
+    NOT a fori_loop under one jit: the loop-wrapped megakernel graph
+    took minutes of XLA/Mosaic compile for zero runtime benefit, while
+    separate dispatches pipeline (the next sample's dispatch overlaps
+    the previous one's execution, so even tunneled-device round-trip
+    latency amortizes away).  The film is donated through the chain.'''
+    for s in range(spp):
+        film = _render_step(scene, film,
+                            jnp.asarray(start_sample, jnp.int32) + s)
+    return film

@@ -82,7 +82,7 @@ def _train_step_fn(mesh, nx, ny, lr):
         def local_loss(fac):
             sc = scene_.replace(materials=scene_.materials.replace(fac=fac))
             film = render_sample(sc, film_, sample_index_,
-                                 x0=x0, full_res=(nx, ny))
+                                 x0=x0, full_res=(nx, ny), fused=False)
             img = film_to_image(film)[..., :3]
             return jnp.mean((img - target_) ** 2)
 

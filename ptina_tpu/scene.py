@@ -250,7 +250,7 @@ def make_lights(lights=None, max_lights=None, default_light=True):
 
 def make_scene(vertices, mtlids=None, materials=None, images=None,
                lights=None, world_fac=(0.1, 0.1, 0.1, 0.1), world_tex=-1,
-               cam_pers=None, default_light=True, pad_faces_to=16):
+               cam_pers=None, default_light=True, pad_faces_to=8):
     '''Assemble a Scene from host-side numpy data.
 
     vertices: [F*3, 8] float array (pos3 + nrm3 + uv2 per vertex, the

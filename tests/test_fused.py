@@ -1,0 +1,56 @@
+'''
+The fused whole-path megakernel (engine/fused.py) must agree with the
+wavefront integrator (engine/path.py) ray-for-ray: same uniforms in,
+same radiance out.  On CPU the kernel runs in Pallas interpret mode;
+on a real TPU the compiled kernel is covered by the same comparison
+(tools/profile_tpu.py and bench.py exercise it there).
+'''
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ptina_tpu.scenes import cornell_box
+from ptina_tpu.engine.path import path_trace, PATH_DIMS
+from ptina_tpu.engine.fused import fused_trace, fused_eligible
+from ptina_tpu.sampling.sobol import sample_dims
+from ptina_tpu.camera import camera_rays
+
+
+def _primary(scene, res):
+    ii, jj = jnp.meshgrid(jnp.arange(res), jnp.arange(res), indexing='ij')
+    ii, jj = ii.reshape(-1), jj.reshape(-1)
+    u = sample_dims(0, ii, jj, PATH_DIMS)
+    x = (ii.astype(jnp.float32) + u[0]) / res * 2.0 - 1.0
+    y = (jj.astype(jnp.float32) + u[1]) / res * 2.0 - 1.0
+    ro, rd = camera_rays(scene.cam_v2w, x, y)
+    return ro, rd, u
+
+
+def test_fused_matches_wavefront():
+    scene = cornell_box()
+    res = 16
+    ro, rd, u = _primary(scene, res)
+    interpret = jax.default_backend() != 'tpu'
+    rad_f = fused_trace(scene, ro, rd, u, interpret=interpret)
+    rad_w = path_trace(scene, ro, rd, u)
+    a = np.stack([np.asarray(rad_f.x), np.asarray(rad_f.y),
+                  np.asarray(rad_f.z)])
+    b = np.stack([np.asarray(rad_w.x), np.asarray(rad_w.y),
+                  np.asarray(rad_w.z)])
+    assert np.isfinite(a).all()
+    # The kernels compute t/u/v with different roundings (Plücker matmul
+    # + Newton reciprocal vs exact division), and 1-2 ulp differences
+    # amplify chaotically over 5 bounces when a path grazes an edge —
+    # a small fraction of PATHS legitimately diverges while the
+    # estimator (the mean) agrees tightly.
+    d = np.abs(a - b).max(axis=0)
+    assert (d < 1e-3).mean() > 0.95, f'{(d >= 1e-3).mean():.3f} paths differ'
+    assert abs(a.mean() - b.mean()) < 2e-3 * max(b.mean(), 1e-6)
+
+
+def test_fused_eligibility_gates():
+    scene = cornell_box()
+    # eligibility is a static trace-time property
+    on_tpu = jax.default_backend() == 'tpu'
+    assert fused_eligible(scene) == on_tpu
