@@ -32,13 +32,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ptina_tpu.utils.mathutils import EPS, INF
+from ptina_tpu.utils.mathutils import INF
 from ptina_tpu.utils.vec import V3, vdot, vdot_or_zero, vnormalize, vwhere, vavg3
 from ptina_tpu.engine.path import MAX_DEPTH, PATH_DIMS, power_heuristic
 from ptina_tpu.materials.disney import disney_derive, disney_eval, disney_sample
 from ptina_tpu.scene import LIGHT_POINT, LIGHT_AREA
 from ptina_tpu.utils.mathutils import safe_sqrt
-from ptina_tpu.utils.vec import vcross, vspherical
+from ptina_tpu.utils.vec import vspherical
 
 __all__ = ['MAX_FUSED_FACES', 'fused_eligible', 'fused_trace']
 
@@ -161,27 +161,10 @@ def _lt_v3(lt, row, l):
     return V3(lt[row, l], lt[row + 1, l], lt[row + 2, l])
 
 
-def _sphere_t(ro, rd, center, radius2):
-    op = center - ro
-    b = vdot(op, rd)
-    det = b * b + radius2 - vdot(op, op)
-    sq = safe_sqrt(det)
-    t_near = b - sq
-    t_far = b + sq
-    t = jnp.where(t_near > EPS, t_near, jnp.where(t_far > EPS, t_far, 0.0))
-    return jnp.where(det >= 0.0, t, 0.0)
-
-
-def _rect_t(ro, rd, pos, dirx, diry):
-    nrm = vnormalize(vcross(dirx, diry))
-    nod = vdot(nrm, rd)
-    facing = nod > EPS
-    t = vdot(nrm, pos - ro) / jnp.where(facing, nod, 1.0)
-    p = ro + rd * t - pos
-    u = vdot(p, dirx) / jnp.maximum(vdot(dirx, dirx), 1e-20)
-    v = vdot(p, diry) / jnp.maximum(vdot(diry, diry), 1e-20)
-    hit = facing & (jnp.abs(u) < 1.0) & (jnp.abs(v) < 1.0)
-    return hit, jnp.where(hit, t, INF)
+# the sphere/rect primitives trace directly inside the kernel (pure
+# elementwise jnp over V3 rows): ONE implementation, shared with the
+# wavefront light queries.
+from ptina_tpu.lights import ray_sphere as _sphere_t, ray_rect as _rect_t
 
 
 def _lights_hit_k(lt, count, ro, rd):

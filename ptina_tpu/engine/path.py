@@ -33,7 +33,7 @@ from ptina_tpu.camera import camera_rays
 from ptina_tpu.intersect.dispatch import cast_any, cast_shaded
 from ptina_tpu.lights import lights_hit, lights_sample, world_at
 from ptina_tpu.mtllib import fetch_material
-from ptina_tpu.materials.disney import disney_eval, disney_sample
+from ptina_tpu.materials.simple import bsdf_eval, bsdf_sample
 from ptina_tpu.sampling.sobol import sample_dims
 from ptina_tpu.film import film_add
 
@@ -73,11 +73,13 @@ def _cast_and_shade(scene, ro, rd, avoid):
     return hit, hitpos, normal, sign, material
 
 
-def _bounce(scene, carry, u):
+def _bounce(scene, carry, u, model='disney'):
     '''One wavefront bounce: the body the reference runs per iteration of
     its in-kernel depth loop (ptina/engine/path.py:25-62).  carry is the
     per-lane path state; u is this bounce's [6, N] uniform rows
-    (3 for the light sample, 3 for the BSDF sample).'''
+    (3 for the light sample, 3 for the BSDF sample).  model selects the
+    BSDF at trace time ('disney' | 'lambert' | 'mirror' | 'phong',
+    materials/simple.MATERIAL_MODELS).'''
     ro, rd, throughput, result, last_brdf_pdf, avoid, alive = carry
     rd = vnormalize(rd)
     hit, hitpos, normal, sign, material = _cast_and_shade(scene, ro, rd, avoid)
@@ -99,7 +101,7 @@ def _bounce(scene, carry, u):
     # next-event estimation (path.py:48-56)
     li = lights_sample(scene.lights, hitpos, u[0], u[1], u[2])
     occ = cast_any(hitpos, li['dir'], scene.tri_w2b, hit.index, li['dis'])
-    brdf_clr = disney_eval(material, normal, sign, -rd, li['dir'])
+    brdf_clr = bsdf_eval(model, material, normal, sign, -rd, li['dir'])
     brdf_pdf = vavg3(brdf_clr)
     mis2 = power_heuristic(li['pdf'], brdf_pdf)
     nee = li['color'] * brdf_clr * (mis2 * vdot_or_zero(normal, li['dir']))
@@ -108,8 +110,8 @@ def _bounce(scene, carry, u):
     result = result + vwhere(nee_ok, throughput * nee, 0.0)
 
     # BSDF bounce (path.py:58-62)
-    outdir, pdf, color = disney_sample(material, normal, sign, -rd,
-                                       u[3], u[4], u[5])
+    outdir, pdf, color = bsdf_sample(model, material, normal, sign, -rd,
+                                     u[3], u[4], u[5])
     throughput = vwhere(live, throughput * color, throughput)
     ro = vwhere(live, hitpos, ro)
     rd = vwhere(live, outdir, rd)
@@ -122,7 +124,7 @@ def _bounce(scene, carry, u):
     return (ro, rd, throughput, result, last_brdf_pdf, avoid, alive)
 
 
-def path_trace(scene, ro, rd, uniforms):
+def path_trace(scene, ro, rd, uniforms, model='disney'):
     '''Trace [N] rays to completion.  ro, rd: V3 rows; uniforms:
     [PATH_DIMS, N] with dims 0-1 reserved for the caller's lens jitter.
     Returns radiance as a V3 of [N] rows.
@@ -143,12 +145,12 @@ def path_trace(scene, ro, rd, uniforms):
     bounce_u = uniforms[2:2 + 6 * MAX_DEPTH].reshape(
         (MAX_DEPTH, 6) + uniforms.shape[1:])
     carry, _ = jax.lax.scan(
-        lambda c, u: (_bounce(scene, c, u), None), carry, bounce_u)
+        lambda c, u: (_bounce(scene, c, u, model), None), carry, bounce_u)
     return carry[3]
 
 
 def render_sample(scene, film, sample_index, x0=0, y0=0, full_res=None,
-                  fused=None):
+                  fused=None, model='disney'):
     '''Accumulate one progressive sample over the film into pass 0
     (reference PathEngine.render/do_render, path.py:75-93).
 
@@ -175,22 +177,23 @@ def render_sample(scene, film, sample_index, x0=0, y0=0, full_res=None,
     y = (jj.astype(jnp.float32) + u[1]) / fny * 2.0 - 1.0
     ro, rd = camera_rays(scene.cam_v2w, x, y)
 
-    if fused is None or fused:
+    if model == 'disney' and (fused is None or fused):
         from ptina_tpu.engine.fused import fused_eligible, fused_trace
         if fused or fused_eligible(scene):
             rad = fused_trace(scene, ro, rd, u)
             return film_add(film, 0, rad.x, rad.y, rad.z,
                             jnp.ones_like(rad.x))
-    rad = path_trace(scene, ro, rd, u)
+    rad = path_trace(scene, ro, rd, u, model)
     return film_add(film, 0, rad.x, rad.y, rad.z, jnp.ones_like(rad.x))
 
 
-@functools.partial(jax.jit, donate_argnames=('film',))
-def _render_step(scene, film, sample_index):
-    return render_sample(scene, film, sample_index)
+@functools.partial(jax.jit, donate_argnames=('film',),
+                   static_argnames=('model',))
+def _render_step(scene, film, sample_index, model='disney'):
+    return render_sample(scene, film, sample_index, model=model)
 
 
-def render(scene, film, start_sample, spp=1):
+def render(scene, film, start_sample, spp=1, model='disney'):
     '''Render `spp` progressive samples.
 
     One jitted single-sample step dispatched `spp` times from Python —
@@ -201,5 +204,6 @@ def render(scene, film, start_sample, spp=1):
     latency amortizes away).  The film is donated through the chain.'''
     for s in range(spp):
         film = _render_step(scene, film,
-                            jnp.asarray(start_sample, jnp.int32) + s)
+                            jnp.asarray(start_sample, jnp.int32) + s,
+                            model=model)
     return film

@@ -20,7 +20,8 @@ from ptina_tpu.utils.vec import V3, vdot, vnormalize, vcross, vwhere, vspherical
 from ptina_tpu.scene import LIGHT_POINT, LIGHT_AREA
 from ptina_tpu.texture import sample_texture
 
-__all__ = ['lights_hit', 'lights_sample', 'world_at']
+__all__ = ['lights_hit', 'lights_sample', 'world_at',
+           'ray_sphere', 'ray_rect']
 
 
 def _slot_v3(table, l):
@@ -28,9 +29,12 @@ def _slot_v3(table, l):
     return V3(table[l, 0], table[l, 1], table[l, 2])
 
 
-def _sphere_t(ro, rd, center, radius2):
+def ray_sphere(ro, rd, center, radius2):
     '''Nearest positive sphere hit distance, 0.0 on miss
-    (reference: ptina/geometries.py:158-178).  center: V3 scalars.'''
+    (reference: ptina/geometries.py:158-178).  All args V3 / scalar rows.
+    This is THE sphere primitive (engine/fused.py re-traces it in-kernel;
+    tests hit it directly) — the one implementation of the reference's
+    Sphere.intersect.'''
     op = center - ro
     b = vdot(op, rd)
     det = b * b + radius2 - vdot(op, op)
@@ -41,9 +45,11 @@ def _sphere_t(ro, rd, center, radius2):
     return jnp.where(det >= 0.0, t, 0.0)
 
 
-def _rect_t(ro, rd, pos, dirx, diry):
+def ray_rect(ro, rd, pos, dirx, diry):
     '''One-sided rectangle test (reference: ptina/geometries.py:57-73).
-    pos/dirx/diry: V3 of scalars.  Returns (hit mask, t).'''
+    pos/dirx/diry: V3 of scalars.  Returns (hit mask, t).  The rect spans
+    pos +/- dirx +/- diry, visible only where the ray faces its front
+    (NoD > eps, the reference's one-sided Area semantics).'''
     nrm = vnormalize(vcross(dirx, diry))
     nod = vdot(nrm, rd)
     facing = nod > EPS
@@ -76,10 +82,10 @@ def lights_hit(lights, ro, rd):
         size = lights.size[l]
         pos = _slot_v3(lights.pos, l)
 
-        t_sph = _sphere_t(ro, rd, pos, size * size)
+        t_sph = ray_sphere(ro, rd, pos, size * size)
         dirx = _slot_v3(lights.axes[:, :, 0], l) * size
         diry = _slot_v3(lights.axes[:, :, 1], l) * size
-        hit_rect, t_rect = _rect_t(ro, rd, pos, dirx, diry)
+        hit_rect, t_rect = ray_rect(ro, rd, pos, dirx, diry)
 
         t = jnp.where(is_point, t_sph,
                       jnp.where(is_area & hit_rect, t_rect, 0.0))

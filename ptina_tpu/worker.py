@@ -16,19 +16,23 @@ import jax.numpy as jnp
 
 from ptina_tpu import scene as _scene_mod
 from ptina_tpu import scenes as _scenes
+from ptina_tpu.config import Config
 from ptina_tpu.film import new_film, film_to_image
 from ptina_tpu.io.matrix import ortho, lookat
+from ptina_tpu.utils.params import Params
 
 __all__ = [
     'init', 'synchronize', 'render', 'render_preview', 'set_size', 'get_size',
     'clear', 'set_mlt_param', 'get_image', 'fast_export_image', 'clear_lights',
     'set_world_light', 'add_light', 'load_model', 'load_images',
     'load_materials', 'build_tree', 'set_camera', 'set_engine',
+    'set_config', 'get_config', 'save_state', 'load_state', 'globals_params',
 ]
 
 
 class _State:
-    def __init__(self):
+    def __init__(self, config=None):
+        self.config = config or Config()
         self.vertices = None
         self.mtlids = None
         self.materials = None
@@ -42,21 +46,51 @@ class _State:
         self.film = None
         self.scene = None
         self.dirty = True
-        self.engine = 'path'
+        self.engine = self.config.engine
         self.sample_index = 0
         self.mlt_state = None
-        self.mlt_lsp = 0.25
-        self.mlt_sigma = 0.01
+        self.mlt_lsp = self.config.mlt_large_step_prob
+        self.mlt_sigma = self.config.mlt_sigma
+        # tunable debug params (reference Globals, ptina/tools/globals.py):
+        # front-ends enumerate .items() to build sliders
+        self.params = Params()
 
 
 _S = _State()
 
 
-def init(engine='path'):
-    '''reference worker.init (worker.py:11-14).'''
+def init(engine=None, config=None):
+    '''reference worker.init (worker.py:11-14).  All knobs come from one
+    Config (config.py); `engine` overrides config.engine.'''
     global _S
-    _S = _State()
-    _S.engine = engine
+    _S = _State(config)
+    if engine is not None:
+        _S.engine = engine
+
+
+def set_config(**kwargs):
+    '''Update config fields on the live worker (engine / material_model /
+    mlt params take effect on the next render call).'''
+    for k, v in kwargs.items():
+        if not hasattr(_S.config, k):
+            raise AttributeError(f'unknown config field {k!r}')
+        setattr(_S.config, k, v)
+    if 'engine' in kwargs:
+        set_engine(kwargs['engine'])
+    if 'mlt_large_step_prob' in kwargs:
+        _S.mlt_lsp = _S.config.mlt_large_step_prob
+    if 'mlt_sigma' in kwargs:
+        _S.mlt_sigma = _S.config.mlt_sigma
+
+
+def get_config():
+    return _S.config
+
+
+def globals_params():
+    '''The worker's named tunable-parameter registry (reference
+    Globals(), ptina/tools/globals.py:8-42).'''
+    return _S.params
 
 
 def set_engine(engine):
@@ -102,7 +136,8 @@ def render(aa=True):
     _ensure_film()
     if _S.engine == 'path':
         from ptina_tpu.engine.path import render as _r
-        _S.film = _r(_S.scene, _S.film, _S.sample_index, spp=1)
+        _S.film = _r(_S.scene, _S.film, _S.sample_index, spp=1,
+                     model=_S.config.material_model)
     elif _S.engine == 'brute':
         from ptina_tpu.engine.brute import render_brute as _r
         _S.film = _r(_S.scene, _S.film, _S.sample_index, spp=1)
@@ -224,3 +259,28 @@ def build_tree():
 def set_camera(pers):
     _S.cam_pers = np.asarray(pers, np.float64)
     _S.dirty = True
+
+
+def save_state(path):
+    '''Checkpoint the progressive render (film + sample index + MLT
+    chains) so a killed render resumes bit-exactly — capability the
+    reference lacks (SURVEY.md §5 "Checkpoint / resume").'''
+    from ptina_tpu.checkpoint import save_render_state
+    _ensure_film()
+    save_render_state(path, _S.film, _S.sample_index, _S.mlt_state,
+                      meta={'nx': _S.nx, 'ny': _S.ny, 'engine': _S.engine})
+
+
+def load_state(path):
+    '''Resume from save_state.  Returns True if a checkpoint was loaded.'''
+    from ptina_tpu.checkpoint import load_render_state
+    state = load_render_state(path)
+    if state is None:
+        return False
+    _S.nx = int(state['meta'].get('nx', _S.nx))
+    _S.ny = int(state['meta'].get('ny', _S.ny))
+    _S.film = jnp.asarray(state['film'])
+    _S.sample_index = state['sample_index']
+    mlt = state['mlt_state']
+    _S.mlt_state = None if mlt is None else jax.tree.map(jnp.asarray, mlt)
+    return True

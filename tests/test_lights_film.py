@@ -9,7 +9,8 @@ from ptina_tpu.utils.vec import V3
 def _v3(a):
     return V3.from_array(jnp.asarray(a, jnp.float32))
 from ptina_tpu.film import new_film, film_add, film_splat, film_to_image
-from ptina_tpu.geometry import ray_aabb, ray_sphere, ray_rect
+from ptina_tpu.lights import ray_sphere, ray_rect
+from ptina_tpu.intersect.lbvh import _ray_box
 
 
 def test_ray_aabb():
@@ -17,26 +18,26 @@ def test_ray_aabb():
     rd = jnp.asarray([[0.0, 0.0, 1.0]] * 3)
     lo = jnp.asarray([-1.0, -1.0, -1.0])
     hi = jnp.asarray([1.0, 1.0, 1.0])
-    hit, near, far = ray_aabb(ro, rd, lo, hi)
-    assert bool(hit[0]) and abs(float(near[0]) - 4.0) < 1e-5
+    hit = _ray_box(ro, rd, lo, hi, jnp.full(3, 1e6))
+    assert bool(hit[0])
     assert not bool(hit[1])
-    assert bool(hit[2]) and float(near[2]) == 0.0  # origin inside
+    assert bool(hit[2])  # origin inside
 
 
 def test_ray_sphere():
-    ro = jnp.asarray([[0.0, 0.0, -5.0]])
-    rd = jnp.asarray([[0.0, 0.0, 1.0]])
-    t = ray_sphere(ro, rd, jnp.asarray([0.0, 0.0, 0.0]), jnp.asarray(1.0))
+    ro = _v3([[0.0, 0.0, -5.0]])
+    rd = _v3([[0.0, 0.0, 1.0]])
+    t = ray_sphere(ro, rd, _v3([[0.0, 0.0, 0.0]]), jnp.asarray(1.0))
     assert abs(float(t[0]) - 4.0) < 1e-5
 
 
 def test_ray_rect_one_sided():
-    pos = jnp.asarray([0.0, 0.0, 0.0])
-    dirx = jnp.asarray([1.0, 0.0, 0.0])
-    diry = jnp.asarray([0.0, 1.0, 0.0])
+    pos = _v3([[0.0, 0.0, 0.0]])
+    dirx = _v3([[1.0, 0.0, 0.0]])
+    diry = _v3([[0.0, 1.0, 0.0]])
     # normal = dirx x diry = +z; visible when ray.d . n > 0
-    ro = jnp.asarray([[0.2, 0.2, -3.0], [0.2, 0.2, 3.0]])
-    rd = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, -1.0]])
+    ro = _v3([[0.2, 0.2, -3.0], [0.2, 0.2, 3.0]])
+    rd = _v3([[0.0, 0.0, 1.0], [0.0, 0.0, -1.0]])
     hit, t = ray_rect(ro, rd, pos, dirx, diry)
     assert bool(hit[0]) and abs(float(t[0]) - 3.0) < 1e-5
     assert not bool(hit[1])
