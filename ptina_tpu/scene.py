@@ -26,7 +26,13 @@ from ptina_tpu.utils.mathutils import cross, dot
 
 __all__ = ['Scene', 'Materials', 'Lights', 'TextureAtlas', 'make_scene',
            'DEFAULT_MATERIAL', 'MATERIAL_PARAMS', 'LIGHT_POINT', 'LIGHT_AREA',
-           'precompute_tri_functionals']
+           'precompute_tri_functionals', 'BLOCK_FACES']
+
+# Face-block granularity of the two-level blocked cast (big scenes):
+# faces are Morton-ordered and partitioned into spatially-coherent blocks
+# of this size; the cast kernels cull whole blocks per ray tile against
+# the per-block AABBs (intersect/pallas_cast.py blocked_* kernels).
+BLOCK_FACES = 512
 
 # Disney parameter layout (order matches the reference's MaterialPool,
 # ptina/mtllib.py:58-77).
@@ -105,6 +111,17 @@ class Scene:
     # Camera view<->world 4x4s (reference: ptina/camera.py:10-22).
     cam_v2w: jnp.ndarray   # [4, 4] f32
     cam_w2v: jnp.ndarray   # [4, 4] f32
+
+    # Two-level acceleration (the TPU counterpart of the reference's BVH,
+    # ptina/tree/lbvh.py): per-face-block AABBs over the Morton-ordered
+    # face table, [ceil(F / BLOCK_FACES), 8] rows of (lo.xyz, hi.xyz, 0, 0).
+    # Empty padding blocks carry an inverted box so every slab test fails.
+    block_bounds: jnp.ndarray
+
+    # Acceleration-structure selection knob (config.accel): 'auto' routes
+    # by face count, 'dense'/'blocked' force a path.  Static (not traced):
+    # part of the pytree structure, so changing it recompiles.
+    accel: str = flax.struct.field(pytree_node=False, default='auto')
 
 
 def precompute_tri_functionals(tri_pos):
