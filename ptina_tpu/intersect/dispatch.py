@@ -26,7 +26,11 @@ from ptina_tpu.intersect.pallas_cast import (
     pallas_cast_closest, pallas_cast_any, pallas_cast_shade, MAX_VMEM_FACES,
 )
 
-__all__ = ['cast_closest', 'cast_any', 'cast_shaded']
+__all__ = ['cast_closest', 'cast_any', 'cast_shaded', 'MAX_DENSE_FACES']
+
+# Above this face count a scene auto-routes to the blocked two-level
+# cast (intersect/blocked.py) instead of the dense single-pass kernels.
+MAX_DENSE_FACES = MAX_VMEM_FACES
 
 
 def _use_pallas(nfaces):

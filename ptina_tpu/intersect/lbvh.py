@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from ptina_tpu.utils.mathutils import EPS, INF
 from ptina_tpu.intersect.brute import Hit
 
-__all__ = ['LBVH', 'lbvh_build', 'lbvh_traverse', 'STACK_DEPTH']
+__all__ = ['LBVH', 'lbvh_build', 'lbvh_traverse', 'ray_aabb', 'STACK_DEPTH']
 
 STACK_DEPTH = 32  # matches the reference stack capacity (stack.py:11)
 
@@ -186,13 +186,22 @@ def lbvh_build(tri_pos):
                 leaf_bmin=leaf_bmin, leaf_bmax=leaf_bmax)
 
 
-def _ray_box(ro, rd, lo, hi, tmax):
+def ray_aabb(ro, rd, lo, hi, tmax):
+    '''Slab test — THE ray/box implementation (reference Box.intersect,
+    ptina/geometries.py:23-46).  ro, rd: [.., 3]; lo, hi: box corners
+    (broadcastable).  Returns (hit, near, far) with near clamped to 0
+    for origins inside the box, matching the reference semantics.'''
     inv = 1.0 / jnp.where(jnp.abs(rd) < 1e-12, 1e-12, rd)
     t1 = (lo - ro) * inv
     t2 = (hi - ro) * inv
     near = jnp.max(jnp.minimum(t1, t2), axis=-1)
     far = jnp.min(jnp.maximum(t1, t2), axis=-1)
-    return (near <= far) & (far > 0.0) & (near < tmax)
+    hit = (near <= far) & (far > 0.0) & (near < tmax)
+    return hit, jnp.maximum(near, 0.0), far
+
+
+def _ray_box(ro, rd, lo, hi, tmax):
+    return ray_aabb(ro, rd, lo, hi, tmax)[0]
 
 
 def _tri_hit(tri_w2b, fid, ro, rd):

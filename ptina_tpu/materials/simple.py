@@ -68,10 +68,10 @@ def mirror_sample(p, normal, sign, indir, su, sv, sw):
 def _shineness(p):
     # Phong exponent from the shared parameter set: the reference
     # constructs Phong(color, shineness=32) directly; here shineness
-    # derives from roughness so the standard material table drives it
-    # (roughness 0 -> mirror-sharp 2/a^2 - 2 style falloff, 1 -> broad).
+    # derives from roughness via the standard Blinn-style mapping
+    # 2/r^2 - 2 (roughness 0 -> mirror-sharp, 1 -> broad exponent-0 lobe).
     r = jnp.clip(p.get('roughness', jnp.asarray(0.4)), 1e-3, 1.0)
-    return 2.0 / (r * r) - 2.0 + 2.0
+    return jnp.maximum(2.0 / (r * r) - 2.0, 0.0)
 
 
 def phong_eval(p, normal, sign, indir, outdir):

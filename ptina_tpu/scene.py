@@ -31,7 +31,7 @@ __all__ = ['Scene', 'Materials', 'Lights', 'TextureAtlas', 'make_scene',
 # Face-block granularity of the two-level blocked cast (big scenes):
 # faces are Morton-ordered and partitioned into spatially-coherent blocks
 # of this size; the cast kernels cull whole blocks per ray tile against
-# the per-block AABBs (intersect/pallas_cast.py blocked_* kernels).
+# the per-block AABBs (intersect/blocked.py).
 BLOCK_FACES = 512
 
 # Disney parameter layout (order matches the reference's MaterialPool,
@@ -113,9 +113,10 @@ class Scene:
     cam_w2v: jnp.ndarray   # [4, 4] f32
 
     # Two-level acceleration (the TPU counterpart of the reference's BVH,
-    # ptina/tree/lbvh.py): per-face-block AABBs over the Morton-ordered
-    # face table, [ceil(F / BLOCK_FACES), 8] rows of (lo.xyz, hi.xyz, 0, 0).
-    # Empty padding blocks carry an inverted box so every slab test fails.
+    # ptina/tree/lbvh.py): per-face-block AABBs over the (Morton-ordered,
+    # for big scenes) face table, [ceil(F / BLOCK_FACES), 8] rows of
+    # (lo.xyz, hi.xyz, 0, 0).  Blocks of pure padding carry an inverted
+    # box so every slab test fails (intersect/blocked.py).
     block_bounds: jnp.ndarray
 
     # Acceleration-structure selection knob (config.accel): 'auto' routes
@@ -149,6 +150,55 @@ def precompute_tri_functionals(tri_pos):
         jnp.concatenate([gv, -dot(gv, v0)[:, None]], axis=-1),
     ], axis=1)  # [F, 3, 4]
     return rows
+
+
+def _morton30_host(p):
+    '''30-bit Morton codes for points p [N, 3] in [0, 1] (host numpy;
+    same bit spreading as intersect/lbvh.morton3d — reference
+    expandBits/morton3D, ptina/tree/lbvh.py:12-30).'''
+    q = np.clip(np.floor(p * 1024.0), 0, 1023).astype(np.uint32)
+
+    def expand(v):
+        v = (v * np.uint32(0x00010001)) & np.uint32(0xFF0000FF)
+        v = (v * np.uint32(0x00000101)) & np.uint32(0x0F00F00F)
+        v = (v * np.uint32(0x00000011)) & np.uint32(0xC30C30C3)
+        v = (v * np.uint32(0x00000005)) & np.uint32(0x49249249)
+        return v
+    return expand(q[:, 0]) * 4 + expand(q[:, 1]) * 2 + expand(q[:, 2])
+
+
+def morton_face_order(tri_pos):
+    '''Spatially-coherent face permutation: stable argsort of the Morton
+    codes of face centroids normalized to the scene AABB (the leaf order
+    of the reference's LBVH, ptina/tree/lbvh.py:168-208).  Host numpy —
+    runs once at scene build.'''
+    centers = tri_pos.reshape(-1, 3, 3).mean(axis=1)
+    lo = centers.min(axis=0)
+    hi = centers.max(axis=0)
+    norm = (centers - lo) / np.maximum(hi - lo, 1e-12)
+    return np.argsort(_morton30_host(norm), kind='stable')
+
+
+def compute_block_bounds(tri_pos, nfaces, block_faces=BLOCK_FACES):
+    '''Per-face-block AABBs [ceil(F / block), 8] of (lo.xyz, hi.xyz, 0, 0)
+    over the padded face table tri_pos [F, 3, 3].  Only live faces
+    (index < nfaces) contribute; blocks of pure padding get an inverted
+    box (+inf lo, -inf hi) so every slab test rejects them.  Host numpy.'''
+    f = tri_pos.shape[0]
+    nblocks = max(1, -(-f // block_faces))
+    big = np.float32(3.4e38)
+    out = np.zeros((nblocks, 8), np.float32)
+    out[:, 0:3] = big
+    out[:, 3:6] = -big
+    for b in range(nblocks):
+        s = b * block_faces
+        e = min(min(s + block_faces, f), nfaces)
+        if e <= s:
+            continue
+        verts = tri_pos[s:e].reshape(-1, 3)
+        out[b, 0:3] = verts.min(axis=0)
+        out[b, 3:6] = verts.max(axis=0)
+    return out
 
 
 def pack_corner_attrs(tri_nrm, tri_uv, tri_mtl):
@@ -267,13 +317,19 @@ def make_lights(lights=None, max_lights=None, default_light=True):
 
 def make_scene(vertices, mtlids=None, materials=None, images=None,
                lights=None, world_fac=(0.1, 0.1, 0.1, 0.1), world_tex=-1,
-               cam_pers=None, default_light=True, pad_faces_to=8):
+               cam_pers=None, default_light=True, pad_faces_to=8,
+               accel='auto', morton=None):
     '''Assemble a Scene from host-side numpy data.
 
     vertices: [F*3, 8] float array (pos3 + nrm3 + uv2 per vertex, the
     reference's flat layout, ptina/model.py:15) or a dict from readobj.
     mtlids: [F] int material ids (-1 = default material).
     cam_pers: 4x4 projection @ view matrix (world -> clip).
+    accel: 'auto' | 'dense' | 'blocked' (config.accel; see Scene.accel).
+    morton: reorder faces along the Morton curve so the blocked cast's
+    per-block AABBs are spatially tight.  None = auto: on for scenes big
+    enough to take the blocked path (face order of small scenes is
+    preserved for deterministic tests / golden images).
     '''
     from ptina_tpu.io.matrix import ortho, lookat
     if isinstance(vertices, dict):
@@ -290,6 +346,14 @@ def make_scene(vertices, mtlids=None, materials=None, images=None,
     # pad face count to a multiple (tile-friendly static shapes)
     fpad = max(pad_faces_to, ((nfaces + pad_faces_to - 1) // pad_faces_to) * pad_faces_to)
     tri = vertices.reshape(nfaces, 3, 8)
+    if morton is None:
+        from ptina_tpu.intersect.dispatch import MAX_DENSE_FACES
+        morton = accel == 'blocked' or (accel == 'auto'
+                                        and fpad > MAX_DENSE_FACES)
+    if morton and nfaces > 1:
+        perm = morton_face_order(tri[:, :, 0:3])
+        tri = tri[perm]
+        mtlids = mtlids[perm]
     tri_pos = np.zeros((fpad, 3, 3), np.float32)
     tri_nrm = np.zeros((fpad, 3, 3), np.float32)
     tri_uv = np.zeros((fpad, 3, 2), np.float32)
@@ -323,4 +387,6 @@ def make_scene(vertices, mtlids=None, materials=None, images=None,
         world_tex=jnp.asarray(world_tex, jnp.int32),
         cam_v2w=jnp.asarray(np.linalg.inv(cam_pers), jnp.float32),
         cam_w2v=jnp.asarray(cam_pers, jnp.float32),
+        block_bounds=jnp.asarray(compute_block_bounds(tri_pos, nfaces)),
+        accel=accel,
     )

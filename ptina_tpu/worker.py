@@ -279,6 +279,12 @@ def load_state(path):
         return False
     _S.nx = int(state['meta'].get('nx', _S.nx))
     _S.ny = int(state['meta'].get('ny', _S.ny))
+    # restore the engine the checkpoint was rendered with, so a resume
+    # continues bit-exactly (e.g. an 'mlt' checkpoint on a 'path' worker)
+    engine = state['meta'].get('engine')
+    if engine is not None and engine != _S.engine:
+        _S.engine = engine
+        _S.config.engine = engine
     _S.film = jnp.asarray(state['film'])
     _S.sample_index = state['sample_index']
     mlt = state['mlt_state']

@@ -10,7 +10,7 @@ def _v3(a):
     return V3.from_array(jnp.asarray(a, jnp.float32))
 from ptina_tpu.film import new_film, film_add, film_splat, film_to_image
 from ptina_tpu.lights import ray_sphere, ray_rect
-from ptina_tpu.intersect.lbvh import _ray_box
+from ptina_tpu.intersect.lbvh import ray_aabb
 
 
 def test_ray_aabb():
@@ -18,10 +18,14 @@ def test_ray_aabb():
     rd = jnp.asarray([[0.0, 0.0, 1.0]] * 3)
     lo = jnp.asarray([-1.0, -1.0, -1.0])
     hi = jnp.asarray([1.0, 1.0, 1.0])
-    hit = _ray_box(ro, rd, lo, hi, jnp.full(3, 1e6))
+    hit, near, far = ray_aabb(ro, rd, lo, hi, jnp.full(3, 1e6))
     assert bool(hit[0])
+    assert abs(float(near[0]) - 4.0) < 1e-5
+    assert abs(float(far[0]) - 6.0) < 1e-5
     assert not bool(hit[1])
-    assert bool(hit[2])  # origin inside
+    assert bool(hit[2])  # origin inside: near clamps to 0
+    assert float(near[2]) == 0.0
+    assert abs(float(far[2]) - 0.5) < 1e-5
 
 
 def test_ray_sphere():
