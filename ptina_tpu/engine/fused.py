@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ptina_tpu.utils.mathutils import INF
 from ptina_tpu.utils.vec import V3, vdot, vdot_or_zero, vnormalize, vwhere, vavg3
-from ptina_tpu.engine.path import MAX_DEPTH, PATH_DIMS, power_heuristic
+from ptina_tpu.engine.path import MAX_DEPTH, power_heuristic
 from ptina_tpu.materials.disney import disney_derive, disney_eval, disney_sample
 from ptina_tpu.scene import LIGHT_POINT, LIGHT_AREA
 from ptina_tpu.utils.mathutils import safe_sqrt
@@ -59,6 +59,7 @@ def fused_eligible(scene):
                   and scene.textures.data.shape[2] == 1)
     return (jax.default_backend() == 'tpu'
             and scene.tri_w2b.shape[0] <= MAX_FUSED_FACES
+            and scene.accel != 'blocked'
             and untextured)
 
 
@@ -95,10 +96,17 @@ def _recip(x, interp=False):
     return r * (2.0 - x * r)
 
 
+CAST_BF16 = False  # experiment knob: bf16 cast matmuls (f32 accumulate)
+
+
 def _uvwta(t5, q):
     '''[5F, 14] @ [14, TR] -> U, V, W, B(=b0), A(=a0) as [F, TR].'''
     f = t5.shape[0] // 5
-    g = jnp.dot(t5, q, preferred_element_type=jnp.float32)
+    if CAST_BF16:
+        g = jnp.dot(t5.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+    else:
+        g = jnp.dot(t5, q, preferred_element_type=jnp.float32)
     return g[0:f], g[f:2 * f], g[2 * f:3 * f], g[3 * f:4 * f], g[4 * f:5 * f]
 
 
@@ -137,16 +145,18 @@ def _cast_closest_k(t5, attrs, q, avoid, interp=False):
     return tmin, idx, out
 
 
-def _cast_any_k(t5, q, avoid, tmax, interp=False):
-    '''Occlusion test for one ray tile.  Returns [1, TR] i32 (1=blocked;
-    i32 so rows can be re-stacked across sublane groups).'''
+def _cast_mint_k(t5, q, avoid, interp=False):
+    '''Nearest valid t per ray, [1, NR] f32 (INF = no hit).  The batched
+    shadow test: comparing this against the light distance OUTSIDE the
+    cast (in ray-tile layout) spares the [RG, TR] -> lane-major relayout
+    a tmax input would force.'''
     U, V, W, B, A = _uvwta(t5, q)
     r = _recip(B, interp)
     t = A * (-r)
     m = jnp.minimum(jnp.minimum(U * r, V * r), W * r)
     fids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-    blocked = ((m >= 0.0) & (t > 0.0) & (t < tmax) & (fids != avoid))
-    return jnp.max(blocked.astype(jnp.int32), axis=0, keepdims=True)
+    valid = (m >= 0.0) & (t > 0.0) & (fids != avoid)
+    return jnp.min(jnp.where(valid, t, INF), axis=0, keepdims=True)
 
 
 # ---------------------------------------------------------------------------
@@ -301,19 +311,59 @@ def _group_q(ro, rd, g, ones1, zeros1):
                             ox, oy, oz, ones1], axis=0)
 
 
-def _group_cast_closest(t5, attrs, ro, rd, avoid, g, ones1, zeros1, interp):
-    '''Closest cast for sublane group g of an [RG, TR] ray tile.'''
-    q = _group_q(ro, rd, g, ones1, zeros1)
-    return _cast_closest_k(t5, attrs, q, avoid[g:g + 1], interp)
+# --- batched whole-tile casts -----------------------------------------------
+# The per-group casts above issue 8 small [5F, 14] @ [14, TR] matmuls per
+# bounce.  The batched forms below lay the 8 sublane groups side by side
+# on the LANE axis instead — one [5F, 14] @ [14, RG*TR] matmul per cast —
+# and re-slice the [*, RG*TR] results back into [RG, TR] tiles.  The
+# result slices land on TR (>= 128-lane = whole-vreg) boundaries, so
+# they relayout cheaply; the matmul count per bounce drops 8x.
+#
+# The lane-major inputs come for free: the ray feature matrix is built
+# per sublane group exactly as before (concat along lanes), and `avoid`
+# is threaded through the bounce loop in LANE-MAJOR form (it is produced
+# lane-major by the previous cast) — Mosaic cannot cheaply concatenate
+# sublane-offset rows onto the lane axis, so no [RG, TR] value is ever
+# converted in that direction.
+
+def _lanes_to_rows(x, tr):
+    '''[C, RG*TR] -> list of C [RG, TR] tiles (lane slices at vreg-
+    aligned offsets, concatenated across sublanes).'''
+    outs = []
+    for c in range(x.shape[0]):
+        row = x[c:c + 1]
+        outs.append(jnp.concatenate(
+            [row[:, g * tr:(g + 1) * tr] for g in range(RG)], axis=0))
+    return outs
 
 
-def _group_cast_any(t5, ro, rd, avoid, tmax, g, ones1, zeros1, interp):
-    q = _group_q(ro, rd, g, ones1, zeros1)
-    return _cast_any_k(t5, q, avoid[g:g + 1], tmax[g:g + 1], interp)
+def _tile_q(ro, rd, ones1, zeros1):
+    '''Ray feature matrix [14, RG*TR] for a whole [RG, TR] tile.'''
+    qs = [_group_q(ro, rd, g, ones1, zeros1) for g in range(RG)]
+    return jnp.concatenate(qs, axis=1)
 
 
-def _stack_rows(rows):
-    return jnp.concatenate(rows, axis=0)
+def _tile_cast_closest(t5, attrs, ro, rd, avoid_lanes, ones1, zeros1,
+                       interp):
+    '''Closest cast of all RG*TR rays of a tile in ONE matmul.
+    avoid_lanes: [1, RG*TR] i32.  Returns (t [RG, TR], index [RG, TR]
+    i32, index_lanes [1, RG*TR] i32, attrs 6 x [RG, TR]).'''
+    tr = ro.x.shape[1]
+    q = _tile_q(ro, rd, ones1, zeros1)
+    tmin, idx, out = _cast_closest_k(t5, attrs, q, avoid_lanes, interp)
+    t = _lanes_to_rows(tmin, tr)[0]
+    index = _lanes_to_rows(idx, tr)[0]
+    a6 = _lanes_to_rows(out, tr)
+    return t, index, idx, a6
+
+
+def _tile_cast_mint(t5, ro, rd, avoid_lanes, ones1, zeros1, interp):
+    '''Nearest-valid-t cast of a whole tile in one matmul, [RG, TR] f32
+    (INF = clear).  Shadow test: occluded iff result < light distance.'''
+    tr = ro.x.shape[1]
+    q = _tile_q(ro, rd, ones1, zeros1)
+    tmin = _cast_mint_k(t5, q, avoid_lanes, interp)
+    return _lanes_to_rows(tmin, tr)[0]
 
 
 def _path_kernel(rays_ref, u_ref, m_all_ref, attr_ref, fac_ref,
@@ -323,7 +373,9 @@ def _path_kernel(rays_ref, u_ref, m_all_ref, attr_ref, fac_ref,
     rr = rays_ref[:].reshape(6, RG, tr)
     ro = V3(rr[0], rr[1], rr[2])
     rd = V3(rr[3], rr[4], rr[5])
-    uu = u_ref[:].reshape(PATH_DIMS, RG, tr)
+    dims = u_ref.shape[0] // RG
+    depth = (dims - 2) // 6  # bounce cap rides in the uniform rows
+    uu = u_ref[:].reshape(dims, RG, tr)
     t5 = m_all_ref[:]
     attrs = attr_ref[:]
     fac = fac_ref[:]
@@ -339,20 +391,21 @@ def _path_kernel(rays_ref, u_ref, m_all_ref, attr_ref, fac_ref,
     result = V3(zero, zero, zero)
     throughput = V3(one, one, one)
     last_brdf_pdf = zero
-    avoid = jnp.full(n_sh, -1, jnp.int32)
+    # self-hit exclusion, threaded in LANE-MAJOR [1, RG*TR] form (the
+    # layout the casts consume and produce; see _tile_cast_closest).
+    # Unlike the wavefront path it updates on every hit regardless of
+    # the alive mask — dead lanes' contributions are masked out, so the
+    # radiance is identical and the relayout of `live` is saved.
+    avoid_lanes = jnp.full((1, RG * tr), -1, jnp.int32)
     alive = jnp.ones(n_sh, bool)
 
-    for b in range(MAX_DEPTH):
+    for b in range(depth):
         u = uu[2 + 6 * b:2 + 6 * (b + 1)]
         rd = vnormalize(rd)
 
-        parts = [_group_cast_closest(t5, attrs, ro, rd, avoid, g,
-                                     ones1, zeros1, interp)
-                 for g in range(RG)]
-        t = _stack_rows([p[0] for p in parts])
-        index = _stack_rows([p[1] for p in parts])
+        t, index, idx_lanes, a6 = _tile_cast_closest(
+            t5, attrs, ro, rd, avoid_lanes, ones1, zeros1, interp)
         hit = index >= 0
-        a6 = [_stack_rows([p[2][c:c + 1] for p in parts]) for c in range(6)]
         normal = vnormalize(V3(a6[0], a6[1], a6[2]))
         mtlid = jnp.where(hit, jnp.round(a6[5]).astype(jnp.int32), -1)
         hitpos = ro + rd * t
@@ -375,9 +428,8 @@ def _path_kernel(rays_ref, u_ref, m_all_ref, attr_ref, fac_ref,
         # next-event estimation (reference path.py:48-56)
         li_dis, li_dir, li_pdf, li_color = _lights_sample_k(
             lt, count, hitpos, u[0], u[1], u[2])
-        occ = _stack_rows([_group_cast_any(t5, hitpos, li_dir, index,
-                                           li_dis, g, ones1, zeros1, interp)
-                           for g in range(RG)]) > 0
+        occ = _tile_cast_mint(t5, hitpos, li_dir, idx_lanes,
+                              ones1, zeros1, interp) < li_dis
         brdf_clr = disney_eval(material, normal, sign, -1.0 * rd, li_dir)
         brdf_pdf = vavg3(brdf_clr)
         mis2 = power_heuristic(li_pdf, brdf_pdf)
@@ -392,7 +444,7 @@ def _path_kernel(rays_ref, u_ref, m_all_ref, attr_ref, fac_ref,
         throughput = vwhere(live, throughput * color, throughput)
         ro = vwhere(live, hitpos, ro)
         rd = vwhere(live, outdir, rd)
-        avoid = jnp.where(live, index, avoid)
+        avoid_lanes = jnp.where(idx_lanes >= 0, idx_lanes, avoid_lanes)
         last_brdf_pdf = jnp.where(live, pdf, last_brdf_pdf)
         alive = live \
             & ((throughput.x > 0.0) | (throughput.y > 0.0)
@@ -451,9 +503,11 @@ def _pack_tri5(tri_w2b):
 def fused_trace(scene, ro, rd, uniforms, interpret=False):
     '''Trace [N] primary rays through the full path in one Pallas kernel.
     Same contract as engine.path.path_trace: ro/rd V3 rows, uniforms
-    [PATH_DIMS, N]; returns radiance V3.'''
+    [2 + 6 * depth, N] (the row count sets the bounce cap); returns
+    radiance V3.'''
     f = scene.tri_w2b.shape[0]
     assert f <= MAX_FUSED_FACES
+    dims = uniforms.shape[0]
     tr = _tr_for(f)
     n = ro.x.shape[0]
     block = RG * tr
@@ -466,11 +520,11 @@ def fused_trace(scene, ro, rd, uniforms, interpret=False):
         u = jnp.pad(u, ((0, 0), (0, npad)))
     nb = (n + npad) // block
 
-    # per-block row-major layout: block i's rows are [6|32 channels x RG]
+    # per-block row-major layout: block i's rows are [6|dims channels x RG]
     rays = rays.reshape(6, nb, RG, tr).transpose(1, 0, 2, 3) \
                .reshape(nb * 6 * RG, tr)
-    u = u.reshape(PATH_DIMS, nb, RG, tr).transpose(1, 0, 2, 3) \
-         .reshape(nb * PATH_DIMS * RG, tr)
+    u = u.reshape(dims, nb, RG, tr).transpose(1, 0, 2, 3) \
+         .reshape(nb * dims * RG, tr)
 
     t5 = _pack_tri5(scene.tri_w2b)
     attrs = scene.tri_attrs
@@ -489,7 +543,7 @@ def fused_trace(scene, ro, rd, uniforms, interpret=False):
     rx, gx, bx = pl.pallas_call(
         functools.partial(_path_kernel, interp=interpret),
         grid=(nb,),
-        in_specs=[blk(6 * RG), blk(PATH_DIMS * RG),
+        in_specs=[blk(6 * RG), blk(dims * RG),
                   full((5 * f, 14)), full(attrs.shape), full(fac.shape),
                   full(lt.shape), smem((1, 1)), smem((1, 4))],
         out_specs=[blk(RG)] * 3,

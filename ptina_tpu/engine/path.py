@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ptina_tpu.utils.mathutils import EPS, INF, clamp
 from ptina_tpu.utils.vec import V3, vdot, vdot_or_zero, vnormalize, vwhere, vavg3
 from ptina_tpu.camera import camera_rays
-from ptina_tpu.intersect.dispatch import cast_any, cast_shaded
+from ptina_tpu.intersect.dispatch import cast_shadow, cast_shaded
 from ptina_tpu.lights import lights_hit, lights_sample, world_at
 from ptina_tpu.mtllib import fetch_material
 from ptina_tpu.materials.simple import bsdf_eval, bsdf_sample
@@ -100,7 +100,7 @@ def _bounce(scene, carry, u, model='disney'):
 
     # next-event estimation (path.py:48-56)
     li = lights_sample(scene.lights, hitpos, u[0], u[1], u[2])
-    occ = cast_any(hitpos, li['dir'], scene.tri_w2b, hit.index, li['dis'])
+    occ = cast_shadow(scene, hitpos, li['dir'], hit.index, li['dis'])
     brdf_clr = bsdf_eval(model, material, normal, sign, -rd, li['dir'])
     brdf_pdf = vavg3(brdf_clr)
     mis2 = power_heuristic(li['pdf'], brdf_pdf)
@@ -126,14 +126,17 @@ def _bounce(scene, carry, u, model='disney'):
 
 def path_trace(scene, ro, rd, uniforms, model='disney'):
     '''Trace [N] rays to completion.  ro, rd: V3 rows; uniforms:
-    [PATH_DIMS, N] with dims 0-1 reserved for the caller's lens jitter.
+    [2 + 6 * depth, N] with dims 0-1 reserved for the caller's lens
+    jitter — the BOUNCE COUNT is carried by the uniform block's row
+    count (config.max_depth flows in through render_sample).
     Returns radiance as a V3 of [N] rows.
 
     Bounces advance under lax.scan (not a Python unroll): every bounce
     is identical modulo its 6 uniform rows, so the XLA graph contains
-    ONE bounce body instead of MAX_DEPTH copies — this is what keeps
+    ONE bounce body instead of max_depth copies — this is what keeps
     wavefront compile times sane (a 5x unroll of cast+shade+NEE made
     single renders take minutes of XLA:CPU compile).'''
+    depth = (uniforms.shape[0] - 2) // 6
     n_sh = ro.x.shape
     zero = jnp.zeros(n_sh)
     result = V3(zero, zero, zero)
@@ -142,15 +145,15 @@ def path_trace(scene, ro, rd, uniforms, model='disney'):
     carry = (ro, rd, throughput, result, zero,
              jnp.full(n_sh, -1, jnp.int32), jnp.ones(n_sh, bool))
 
-    bounce_u = uniforms[2:2 + 6 * MAX_DEPTH].reshape(
-        (MAX_DEPTH, 6) + uniforms.shape[1:])
+    bounce_u = uniforms[2:2 + 6 * depth].reshape(
+        (depth, 6) + uniforms.shape[1:])
     carry, _ = jax.lax.scan(
         lambda c, u: (_bounce(scene, c, u, model), None), carry, bounce_u)
     return carry[3]
 
 
 def render_sample(scene, film, sample_index, x0=0, y0=0, full_res=None,
-                  fused=None, model='disney'):
+                  fused=None, model='disney', max_depth=MAX_DEPTH):
     '''Accumulate one progressive sample over the film into pass 0
     (reference PathEngine.render/do_render, path.py:75-93).
 
@@ -164,14 +167,15 @@ def render_sample(scene, film, sample_index, x0=0, y0=0, full_res=None,
     fused: None = auto (use the whole-path Pallas megakernel when the
     scene is eligible on TPU, engine/fused.py), False = force the
     wavefront path (required under autodiff — no grad through the
-    megakernel), True = force the megakernel.'''
+    megakernel), True = force the megakernel.
+    max_depth: bounce cap (config.max_depth; reference path.py:25).'''
     _, _, nx, ny = film.shape
     fnx, fny = full_res if full_res is not None else (nx, ny)
     ii, jj = jnp.meshgrid(x0 + jnp.arange(nx), y0 + jnp.arange(ny),
                           indexing='ij')
     ii = ii.reshape(-1)
     jj = jj.reshape(-1)
-    u = sample_dims(sample_index, ii, jj, PATH_DIMS)
+    u = sample_dims(sample_index, ii, jj, 2 + 6 * max_depth)
 
     x = (ii.astype(jnp.float32) + u[0]) / fnx * 2.0 - 1.0
     y = (jj.astype(jnp.float32) + u[1]) / fny * 2.0 - 1.0
@@ -188,22 +192,41 @@ def render_sample(scene, film, sample_index, x0=0, y0=0, full_res=None,
 
 
 @functools.partial(jax.jit, donate_argnames=('film',),
-                   static_argnames=('model',))
-def _render_step(scene, film, sample_index, model='disney'):
-    return render_sample(scene, film, sample_index, model=model)
+                   static_argnames=('model', 'spb', 'max_depth'))
+def _render_step(scene, film, sample_index, model='disney', spb=1,
+                 max_depth=MAX_DEPTH):
+    '''One dispatch of `spb` samples: lax.scan over sample indices with
+    the film as carry.  The megakernel appears ONCE in the graph (scan,
+    not unroll), so compile time is flat in spb while per-dispatch
+    overhead divides by it — on a tunneled device each dispatch costs
+    ~1 ms of host-side enqueue, which at spb=1 was ~38% of the sample
+    budget (measured round 3; see PROGRESS.jsonl).'''
+    if spb == 1:
+        return render_sample(scene, film, sample_index, model=model,
+                             max_depth=max_depth)
+    film, _ = jax.lax.scan(
+        lambda f, s: (render_sample(scene, f, s, model=model,
+                                    max_depth=max_depth), None),
+        film, sample_index + jnp.arange(spb, dtype=jnp.int32))
+    return film
 
 
-def render(scene, film, start_sample, spp=1, model='disney'):
-    '''Render `spp` progressive samples.
+SPB = 8  # samples per dispatch: overhead/8 while staying responsive
 
-    One jitted single-sample step dispatched `spp` times from Python —
-    NOT a fori_loop under one jit: the loop-wrapped megakernel graph
-    took minutes of XLA/Mosaic compile for zero runtime benefit, while
-    separate dispatches pipeline (the next sample's dispatch overlaps
-    the previous one's execution, so even tunneled-device round-trip
-    latency amortizes away).  The film is donated through the chain.'''
-    for s in range(spp):
-        film = _render_step(scene, film,
-                            jnp.asarray(start_sample, jnp.int32) + s,
-                            model=model)
+
+def render(scene, film, start_sample, spp=1, model='disney', spb=None,
+           max_depth=MAX_DEPTH):
+    '''Render `spp` progressive samples, batching `spb` samples into
+    each device dispatch (None = auto: SPB when spp is a multiple,
+    falling back to singles for the remainder).  The film is donated
+    through the chain.'''
+    if spb is None:
+        spb = SPB
+    start = jnp.asarray(start_sample, jnp.int32)
+    s = 0
+    while s < spp:
+        step = spb if spp - s >= spb else 1
+        film = _render_step(scene, film, start + s, model=model, spb=step,
+                            max_depth=max_depth)
+        s += step
     return film

@@ -1,0 +1,274 @@
+'''
+Two-level blocked ray cast for big scenes (the TPU-native counterpart of
+the reference's BVH traversal, ptina/tree/lbvh.py:313-347).
+
+A per-lane stack traversal is hostile to TPU (divergent control flow,
+per-lane gathers).  This module keeps the dense-matmul narrow phase of
+intersect/pallas_cast.py but adds a broad phase over face BLOCKS:
+
+  * Scene build (scene.make_scene): faces are Morton-ordered and
+    partitioned into BLOCK_FACES-sized spatially-coherent blocks with
+    per-block AABBs (scene.compute_block_bounds) — the "leaves" of a
+    fixed-depth, implicit two-level tree.
+  * Broad phase (XLA, per cast): each TR-ray tile gets a conservative
+    interval slab test against every block AABB — O(ntiles * nblocks)
+    scalar work, no per-ray cost — and a compacted CANDIDATE block list.
+  * Narrow phase (Pallas): grid (ray_tile, candidate_slot); the
+    candidate list drives the triangle-block fetch through a scalar-
+    prefetch index map, so skipped blocks cost neither HBM traffic nor
+    MXU work (past-the-count slots repeat the last candidate, which the
+    pipeline recognizes as an already-resident block and elides).  Each
+    visited block runs the same fused matmul -> t/u/v -> masked-min ->
+    winner-attributes tile as the dense kernel, accumulated into a
+    running per-ray minimum across candidate steps.
+
+Correctness does not depend on the culling quality: the candidate test
+is conservative (superset), and a degenerate block simply wastes one
+step.  Hit semantics match intersect/brute.py exactly (same _plane_uv /
+_valid helpers; reference Face.intersect + nearest-hit loop,
+ptina/geometries.py:117-148, lbvh.py:313-347).
+'''
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ptina_tpu.utils.mathutils import INF
+from ptina_tpu.intersect.brute import Hit
+from ptina_tpu.intersect.pallas_cast import _plane_uv, _valid, _prep
+
+__all__ = ['blocked_cast_closest', 'blocked_cast_shade',
+           'blocked_cast_any', 'blocked_tables', 'BLOCKED_TR']
+
+BLOCKED_TR = 512   # rays per tile (lane axis)
+_BIG = 2 ** 30
+
+
+def blocked_tables(tri_w2b, tri_attrs, block_faces):
+    '''Re-pack the flat triangle tables into per-block form:
+    (m0, m1, m2) [nb, B, 4] functional rows and attrs [nb, 3C, B].
+    tri_w2b must be padded to a block_faces multiple (make_scene pads
+    big scenes this way).'''
+    f = tri_w2b.shape[0]
+    assert f % block_faces == 0, 'pad faces to a BLOCK_FACES multiple'
+    nb = f // block_faces
+    m = tri_w2b.reshape(nb, block_faces, 3, 4)
+    c3 = tri_attrs.shape[0]
+    attrs = tri_attrs.reshape(c3, nb, block_faces).transpose(1, 0, 2)
+    return m[:, :, 0, :], m[:, :, 1, :], m[:, :, 2, :], attrs
+
+
+def _tile_ray_bounds(o4, d4, tr):
+    '''Per-tile componentwise intervals of ray origins and directions.
+    o4, d4: [4, Npad] homogeneous rays (Npad a tr multiple).
+    Returns (olo, ohi, dlo, dhi) [ntiles, 3].'''
+    nt = o4.shape[1] // tr
+    o = o4[:3].reshape(3, nt, tr)
+    d = d4[:3].reshape(3, nt, tr)
+    return (o.min(-1).T, o.max(-1).T, d.min(-1).T, d.max(-1).T)
+
+
+def _candidate_blocks(block_bounds, olo, ohi, dlo, dhi):
+    '''Conservative tile-vs-block visibility: a block is a candidate for
+    a ray tile unless, on some axis, the box is strictly outside the
+    tile's origin interval with no ray direction pointing toward it.
+    (Interval arithmetic over the slab test: ignores cross-axis t
+    coupling, so it only over-approximates.)  Returns (cand [nt, nb]
+    i32 candidate block ids — real candidates first, then the last real
+    one repeated so the pipeline never refetches — and cnt [nt] i32.'''
+    lo = block_bounds[:, 0:3]   # [nb, 3]
+    hi = block_bounds[:, 3:6]
+    valid = jnp.all(lo <= hi, axis=-1)  # padding blocks are inverted
+    overlap = (olo[:, None] <= hi[None]) & (ohi[:, None] >= lo[None])
+    toward_r = (lo[None] > ohi[:, None]) & (dhi[:, None] > 0.0)
+    toward_l = (hi[None] < olo[:, None]) & (dlo[:, None] < 0.0)
+    feas = jnp.all(overlap | toward_r | toward_l, axis=-1) & valid[None]
+    cnt = jnp.sum(feas, axis=-1).astype(jnp.int32)
+    order = jnp.argsort(~feas, axis=-1, stable=True).astype(jnp.int32)
+    last = jnp.take_along_axis(order, jnp.maximum(cnt - 1, 0)[:, None], 1)
+    slot = jnp.arange(order.shape[1], dtype=jnp.int32)[None, :]
+    cand = jnp.where(slot < cnt[:, None], order, last)
+    return cand, cnt
+
+
+def _blocked_shade_kernel(cand_ref, cnt_ref, o4_ref, d4_ref, avoid_ref,
+                          m0_ref, m1_ref, m2_ref, attr_ref,
+                          t_ref, idx_ref, u_ref, v_ref, out_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        t_ref[:] = jnp.full(t_ref.shape, INF)
+        idx_ref[:] = jnp.full(idx_ref.shape, -1, jnp.int32)
+        u_ref[:] = jnp.zeros(u_ref.shape)
+        v_ref[:] = jnp.zeros(v_ref.shape)
+        out_ref[:] = jnp.zeros(out_ref.shape)
+
+    @pl.when(j < cnt_ref[i])
+    def _visit():
+        b = m0_ref.shape[1]
+        base = cand_ref[i, j] * b
+        t, u, v, live = _plane_uv(m0_ref[0], m1_ref[0], m2_ref[0],
+                                  o4_ref[:], d4_ref[:])
+        fids = base + jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+        valid = _valid(t, u, v, live, avoid_ref[:], fids)
+        tm = jnp.where(valid, t, INF)
+        tmin = jnp.min(tm, axis=0, keepdims=True)          # [1, TR]
+        eq = (tm == tmin) & valid
+        widx = jnp.min(jnp.where(eq, fids, _BIG), axis=0, keepdims=True)
+        first = eq & (fids == widx)
+        ff = first.astype(jnp.float32)
+        uw = jnp.sum(u * ff, axis=0, keepdims=True)
+        vw = jnp.sum(v * ff, axis=0, keepdims=True)
+        corners = jnp.dot(attr_ref[0], ff,
+                          preferred_element_type=jnp.float32)  # [3C, TR]
+        c = corners.shape[0] // 3
+        att = (corners[0 * c:1 * c] * (1.0 - uw - vw)
+               + corners[1 * c:2 * c] * uw + corners[2 * c:3 * c] * vw)
+        better = tmin < t_ref[:]
+        t_ref[:] = jnp.where(better, tmin, t_ref[:])
+        idx_ref[:] = jnp.where(better, widx, idx_ref[:])
+        u_ref[:] = jnp.where(better, uw, u_ref[:])
+        v_ref[:] = jnp.where(better, vw, v_ref[:])
+        out_ref[:] = jnp.where(better, att, out_ref[:])
+
+
+def _blocked_mint_kernel(cand_ref, cnt_ref, o4_ref, d4_ref, avoid_ref,
+                         m0_ref, m1_ref, m2_ref, t_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        t_ref[:] = jnp.full(t_ref.shape, INF)
+
+    @pl.when(j < cnt_ref[i])
+    def _visit():
+        b = m0_ref.shape[1]
+        base = cand_ref[i, j] * b
+        t, u, v, live = _plane_uv(m0_ref[0], m1_ref[0], m2_ref[0],
+                                  o4_ref[:], d4_ref[:])
+        fids = base + jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
+        valid = _valid(t, u, v, live, avoid_ref[:], fids)
+        tm = jnp.min(jnp.where(valid, t, INF), axis=0, keepdims=True)
+        t_ref[:] = jnp.minimum(t_ref[:], tm)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def blocked_cast_shade(ro, rd, m0b, m1b, m2b, attrsb, block_bounds, avoid,
+                       interpret=False):
+    '''Closest hit + interpolated attributes through the two-level cast.
+    m*b/attrsb from blocked_tables.  Returns (Hit, attrs [C, N]).'''
+    nb, b, _ = m0b.shape
+    c3 = attrsb.shape[1]
+    tr = BLOCKED_TR
+    o4t, d4t, avoid2, n, ntotal = _prep(ro, rd, avoid, tr)
+    nt = ntotal // tr
+    olo, ohi, dlo, dhi = _tile_ray_bounds(o4t, d4t, tr)
+    cand, cnt = _candidate_blocks(block_bounds, olo, ohi, dlo, dhi)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(nt, nb),
+        in_specs=[
+            pl.BlockSpec((4, tr), lambda i, j, cand, cnt: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tr), lambda i, j, cand, cnt: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr), lambda i, j, cand, cnt: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, 4), lambda i, j, cand, cnt: (cand[i, j], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, 4), lambda i, j, cand, cnt: (cand[i, j], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, 4), lambda i, j, cand, cnt: (cand[i, j], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c3, b), lambda i, j, cand, cnt: (cand[i, j], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tr), lambda i, j, cand, cnt: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr), lambda i, j, cand, cnt: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr), lambda i, j, cand, cnt: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr), lambda i, j, cand, cnt: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c3 // 3, tr), lambda i, j, cand, cnt: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    t, idx, u, v, attrs = pl.pallas_call(
+        _blocked_shade_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, ntotal), jnp.float32),
+            jax.ShapeDtypeStruct((1, ntotal), jnp.int32),
+            jax.ShapeDtypeStruct((1, ntotal), jnp.float32),
+            jax.ShapeDtypeStruct((1, ntotal), jnp.float32),
+            jax.ShapeDtypeStruct((c3 // 3, ntotal), jnp.float32),
+        ],
+        interpret=interpret,
+    )(cand, cnt, o4t, d4t, avoid2, m0b, m1b, m2b, attrsb)
+    index = idx[0, :n]  # misses keep the -1 init: a _BIG winner means
+    # tmin == INF, so `better` never lets it through
+    hit = Hit(hit=index >= 0, t=t[0, :n], index=index,
+              u=u[0, :n], v=v[0, :n])
+    return hit, attrs[:, :n]
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def blocked_cast_closest(ro, rd, m0b, m1b, m2b, attrsb, block_bounds, avoid,
+                         interpret=False):
+    '''Hit-only view of blocked_cast_shade (same kernel pass).'''
+    hit, _ = blocked_cast_shade(ro, rd, m0b, m1b, m2b, attrsb, block_bounds,
+                                avoid, interpret=interpret)
+    return hit
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def blocked_cast_any(ro, rd, m0b, m1b, m2b, block_bounds, avoid, tmax,
+                     interpret=False):
+    '''Occlusion cast: True where any face (except avoid) is hit at
+    0 < t < tmax.'''
+    nb, b, _ = m0b.shape
+    tr = BLOCKED_TR
+    o4t, d4t, avoid2, n, ntotal = _prep(ro, rd, avoid, tr)
+    nt = ntotal // tr
+    olo, ohi, dlo, dhi = _tile_ray_bounds(o4t, d4t, tr)
+    cand, cnt = _candidate_blocks(block_bounds, olo, ohi, dlo, dhi)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(nt, nb),
+        in_specs=[
+            pl.BlockSpec((4, tr), lambda i, j, cand, cnt: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, tr), lambda i, j, cand, cnt: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr), lambda i, j, cand, cnt: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, 4), lambda i, j, cand, cnt: (cand[i, j], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, 4), lambda i, j, cand, cnt: (cand[i, j], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, 4), lambda i, j, cand, cnt: (cand[i, j], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tr), lambda i, j, cand, cnt: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    t, = pl.pallas_call(
+        _blocked_mint_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((1, ntotal), jnp.float32)],
+        interpret=interpret,
+    )(cand, cnt, o4t, d4t, avoid2, m0b, m1b, m2b)
+    npad = ntotal - n
+    tmaxp = (jnp.pad(tmax, (0, npad)) if npad else tmax)
+    return t[0, :n] < tmaxp[:n]

@@ -26,7 +26,8 @@ from ptina_tpu.intersect.pallas_cast import (
     pallas_cast_closest, pallas_cast_any, pallas_cast_shade, MAX_VMEM_FACES,
 )
 
-__all__ = ['cast_closest', 'cast_any', 'cast_shaded', 'MAX_DENSE_FACES']
+__all__ = ['cast_closest', 'cast_any', 'cast_shaded', 'cast_shadow',
+           'MAX_DENSE_FACES']
 
 # Above this face count a scene auto-routes to the blocked two-level
 # cast (intersect/blocked.py) instead of the dense single-pass kernels.
@@ -35,6 +36,27 @@ MAX_DENSE_FACES = MAX_VMEM_FACES
 
 def _use_pallas(nfaces):
     return jax.default_backend() == 'tpu' and nfaces <= MAX_VMEM_FACES
+
+
+def _route(scene):
+    '''Trace-time accel selection for scene-level casts:
+    'pallas' (dense single-pass, TPU), 'blocked' (two-level, big
+    scenes / config.accel='blocked'), 'brute' (XLA, CPU tests).'''
+    f = scene.tri_w2b.shape[0]
+    tpu = jax.default_backend() == 'tpu'
+    if scene.accel == 'blocked':
+        return 'blocked'
+    if scene.accel == 'dense':
+        return 'pallas' if (tpu and f <= MAX_VMEM_FACES) else 'brute'
+    if tpu:
+        return 'pallas' if f <= MAX_DENSE_FACES else 'blocked'
+    return 'brute'
+
+
+def _blocked_interpret():
+    # the blocked Mosaic kernels only run on TPU; elsewhere (CPU tests
+    # with accel='blocked') fall back to the Pallas interpreter
+    return jax.default_backend() != 'tpu'
 
 
 def _as_v3(a):
@@ -55,12 +77,41 @@ def cast_any(ro, rd, tri_w2b, avoid, tmax):
     return brute.cast_any(ro, rd, tri_w2b, avoid, tmax)
 
 
-def cast_shaded(scene, ro, rd, avoid):
-    '''Closest hit + shading attributes.
-    Returns (hit, normal V3 unit (not yet two-sided-flipped),
-    tex_s [N], tex_t [N], mtlid [N] i32 (-1 on miss/defaults)).'''
+def cast_shadow(scene, ro, rd, avoid, tmax):
+    '''Occlusion cast routed by the scene's acceleration mode.'''
     ro, rd = _as_v3(ro), _as_v3(rd)
-    if _use_pallas(scene.tri_w2b.shape[0]):
+    if _route(scene) == 'blocked':
+        from ptina_tpu.intersect.blocked import blocked_tables, \
+            blocked_cast_any
+        from ptina_tpu.scene import BLOCK_FACES
+        m0b, m1b, m2b, _ = blocked_tables(scene.tri_w2b, scene.tri_attrs,
+                                          BLOCK_FACES)
+        return blocked_cast_any(ro, rd, m0b, m1b, m2b, scene.block_bounds,
+                                avoid, tmax, interpret=_blocked_interpret())
+    return cast_any(ro, rd, scene.tri_w2b, avoid, tmax)
+
+
+def cast_shaded(scene, ro, rd, avoid):
+    '''Closest hit + shading attributes, routed by the scene's
+    acceleration mode.  Returns (hit, normal V3 unit (not yet
+    two-sided-flipped), tex_s [N], tex_t [N], mtlid [N] i32
+    (-1 on miss/defaults)).'''
+    ro, rd = _as_v3(ro), _as_v3(rd)
+    route = _route(scene)
+    if route == 'blocked':
+        from ptina_tpu.intersect.blocked import blocked_tables, \
+            blocked_cast_shade
+        from ptina_tpu.scene import BLOCK_FACES
+        m0b, m1b, m2b, attrsb = blocked_tables(
+            scene.tri_w2b, scene.tri_attrs, BLOCK_FACES)
+        hit, attrs = blocked_cast_shade(
+            ro, rd, m0b, m1b, m2b, attrsb, scene.block_bounds, avoid,
+            interpret=_blocked_interpret())
+        normal = vnormalize(V3(attrs[0], attrs[1], attrs[2]))
+        mtlid = jnp.round(attrs[5]).astype(jnp.int32)
+        mtlid = jnp.where(hit.hit, mtlid, -1)
+        return hit, normal, attrs[3], attrs[4], mtlid
+    if route == 'pallas':
         hit, attrs = pallas_cast_shade(ro, rd, scene.tri_w2b, avoid,
                                        scene.tri_attrs)
         normal = vnormalize(V3(attrs[0], attrs[1], attrs[2]))

@@ -285,16 +285,18 @@ def make_lights(lights=None, max_lights=None, default_light=True):
     color (32,32,32), pos (1,2,3), size 0.5
     (reference: ptina/light/__init__.py:22-29).
 
-    Capacity defaults to the smallest multiple of 8 that fits (the
-    reference reserves 64 slots, ptina/things.py:17 — here the dense
-    [N, L] light tests make unused slots cost real VPU work, so the pool
-    is sized to the scene; pass max_lights to override).'''
+    Capacity defaults to exactly the scene's light count (the reference
+    reserves 64 slots, ptina/things.py:17 — here the light loops are
+    UNROLLED per slot in both the wavefront queries and the megakernel,
+    so every unused slot costs real per-bounce VPU work: an 8-slot pool
+    made the 1-light cornell megakernel spend ~8x the needed light time;
+    pass max_lights to reserve headroom).'''
     if lights is None and default_light:
         lights = [dict(color=(32, 32, 32), pos=(1, 2, 3), size=0.5,
                        type=LIGHT_POINT)]
     lights = lights or []
     if max_lights is None:
-        max_lights = max(8, -(-len(lights) // 8) * 8)
+        max_lights = max(1, len(lights))
     L = max_lights
     color = np.zeros((L, 3), np.float32)
     pos = np.zeros((L, 3), np.float32)
@@ -354,6 +356,9 @@ def make_scene(vertices, mtlids=None, materials=None, images=None,
         perm = morton_face_order(tri[:, :, 0:3])
         tri = tri[perm]
         mtlids = mtlids[perm]
+    if morton:
+        # blocked-cast scenes need whole face blocks (intersect/blocked.py)
+        fpad = -(-fpad // BLOCK_FACES) * BLOCK_FACES
     tri_pos = np.zeros((fpad, 3, 3), np.float32)
     tri_nrm = np.zeros((fpad, 3, 3), np.float32)
     tri_uv = np.zeros((fpad, 3, 2), np.float32)

@@ -115,7 +115,8 @@ def _rebuild():
         verts, mtlids, materials=_S.materials, images=_S.images,
         lights=_S.lights if (_S.lights or not _S.default_light) else None,
         default_light=_S.default_light,
-        world_fac=_S.world_fac, world_tex=_S.world_tex, cam_pers=cam)
+        world_fac=_S.world_fac, world_tex=_S.world_tex, cam_pers=cam,
+        accel=_S.config.accel)
     _S.dirty = False
 
 
@@ -137,10 +138,12 @@ def render(aa=True):
     if _S.engine == 'path':
         from ptina_tpu.engine.path import render as _r
         _S.film = _r(_S.scene, _S.film, _S.sample_index, spp=1,
-                     model=_S.config.material_model)
+                     model=_S.config.material_model,
+                     max_depth=_S.config.max_depth)
     elif _S.engine == 'brute':
         from ptina_tpu.engine.brute import render_brute as _r
-        _S.film = _r(_S.scene, _S.film, _S.sample_index, spp=1)
+        _S.film = _r(_S.scene, _S.film, _S.sample_index, spp=1,
+                     max_depth=_S.config.max_depth)
     elif _S.engine == 'mlt':
         from ptina_tpu.engine.mlt import mlt_init, render_mlt
         if _S.mlt_state is None:

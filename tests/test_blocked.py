@@ -1,0 +1,133 @@
+'''
+Two-level blocked cast (intersect/blocked.py) vs the dense XLA oracle.
+
+Runs the Pallas kernels in interpret mode on CPU; semantics must match
+intersect/brute.py exactly on scenes spanning several face blocks
+(reference traversal semantics: ptina/tree/lbvh.py:313-347).
+'''
+
+import numpy as np
+import jax.numpy as jnp
+
+from ptina_tpu.scene import (make_scene, compute_block_bounds,
+                             morton_face_order, BLOCK_FACES)
+from ptina_tpu.intersect import brute
+from ptina_tpu.intersect.blocked import (
+    blocked_tables, blocked_cast_shade, blocked_cast_any,
+    _tile_ray_bounds, _candidate_blocks, BLOCKED_TR)
+from ptina_tpu.intersect.pallas_cast import _prep
+from ptina_tpu.utils.vec import V3
+
+
+def _cluster_scene(nfaces=700, seed=0):
+    '''Random triangle clusters far apart (so block culling has real
+    work to do), padded by make_scene to whole blocks.'''
+    rng = np.random.default_rng(seed)
+    ncl = 7
+    centers = rng.uniform(-20, 20, (ncl, 3)).astype(np.float32)
+    v0 = centers[rng.integers(0, ncl, nfaces)] + rng.normal(
+        0, 0.8, (nfaces, 3)).astype(np.float32)
+    e1 = rng.normal(0, 0.5, (nfaces, 3)).astype(np.float32)
+    e2 = rng.normal(0, 0.5, (nfaces, 3)).astype(np.float32)
+    tri = np.stack([v0, v0 + e1, v0 + e2], axis=1)  # [F, 3, 3]
+    verts = np.zeros((nfaces * 3, 8), np.float32)
+    verts[:, 0:3] = tri.reshape(-1, 3)
+    verts[:, 3:6] = (0.0, 0.0, 1.0)
+    return make_scene(verts, accel='blocked')
+
+
+def _rays(n=96, seed=1):
+    rng = np.random.default_rng(seed)
+    ro = rng.uniform(-30, 30, (n, 3)).astype(np.float32)
+    rd = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    return (V3.from_array(jnp.asarray(ro)), V3.from_array(jnp.asarray(rd)))
+
+
+def test_blocked_scene_build():
+    scene = _cluster_scene()
+    f = scene.tri_w2b.shape[0]
+    assert f % BLOCK_FACES == 0
+    assert scene.block_bounds.shape == (f // BLOCK_FACES, 8)
+    bb = np.asarray(scene.block_bounds)
+    live_blocks = int(np.ceil(700 / BLOCK_FACES))
+    assert (bb[:live_blocks, 0:3] <= bb[:live_blocks, 3:6]).all()
+    # pure-padding blocks carry inverted boxes
+    assert (bb[live_blocks:, 0:3] > bb[live_blocks:, 3:6]).all()
+
+
+def test_morton_order_is_permutation():
+    rng = np.random.default_rng(3)
+    tri = rng.normal(0, 5, (333, 3, 3)).astype(np.float32)
+    perm = morton_face_order(tri)
+    assert sorted(perm.tolist()) == list(range(333))
+
+
+def test_candidates_are_conservative():
+    scene = _cluster_scene()
+    ro, rd = _rays()
+    o4, d4, _, n, ntotal = _prep(ro, rd, jnp.full(96, -1, jnp.int32),
+                                 BLOCKED_TR)
+    olo, ohi, dlo, dhi = _tile_ray_bounds(o4, d4, BLOCKED_TR)
+    cand, cnt = _candidate_blocks(scene.block_bounds, olo, ohi, dlo, dhi)
+    # the oracle hit's winning face must live in a candidate block
+    hit = brute.cast_closest(ro, rd, scene.tri_w2b,
+                             jnp.full(96, -1, jnp.int32))
+    idx = np.asarray(hit.index)
+    cand = np.asarray(cand)
+    cnt = np.asarray(cnt)
+    for r in np.nonzero(idx >= 0)[0]:
+        tile = r // BLOCKED_TR
+        blk = idx[r] // BLOCK_FACES
+        assert blk in cand[tile, :cnt[tile]], (r, blk)
+
+
+def test_blocked_closest_matches_brute():
+    scene = _cluster_scene()
+    ro, rd = _rays()
+    avoid = jnp.full(96, -1, jnp.int32)
+    m0b, m1b, m2b, attrsb = blocked_tables(scene.tri_w2b, scene.tri_attrs,
+                                           BLOCK_FACES)
+    hit, attrs = blocked_cast_shade(ro, rd, m0b, m1b, m2b, attrsb,
+                                    scene.block_bounds, avoid,
+                                    interpret=True)
+    ref = brute.cast_closest(ro, rd, scene.tri_w2b, avoid)
+    np.testing.assert_array_equal(np.asarray(hit.hit), np.asarray(ref.hit))
+    np.testing.assert_array_equal(np.asarray(hit.index),
+                                  np.asarray(ref.index))
+    m = np.asarray(ref.hit)
+    np.testing.assert_allclose(np.asarray(hit.t)[m], np.asarray(ref.t)[m],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hit.u)[m], np.asarray(ref.u)[m],
+                               rtol=1e-4, atol=1e-5)
+    # interpolated mtlid channel decodes to the face's material (-1 here)
+    mtl = np.rint(np.asarray(attrs[5]))[m]
+    assert (mtl == -1).all()
+
+
+def test_blocked_avoid_excludes_self():
+    scene = _cluster_scene()
+    ro, rd = _rays()
+    avoid0 = jnp.full(96, -1, jnp.int32)
+    m0b, m1b, m2b, attrsb = blocked_tables(scene.tri_w2b, scene.tri_attrs,
+                                           BLOCK_FACES)
+    hit, _ = blocked_cast_shade(ro, rd, m0b, m1b, m2b, attrsb,
+                                scene.block_bounds, avoid0, interpret=True)
+    hit2, _ = blocked_cast_shade(ro, rd, m0b, m1b, m2b, attrsb,
+                                 scene.block_bounds, hit.index,
+                                 interpret=True)
+    both = np.asarray(hit.hit) & np.asarray(hit2.hit)
+    assert (np.asarray(hit.index)[both] != np.asarray(hit2.index)[both]).all()
+
+
+def test_blocked_any_matches_brute():
+    scene = _cluster_scene()
+    ro, rd = _rays(seed=5)
+    avoid = jnp.full(96, -1, jnp.int32)
+    tmax = jnp.full(96, 25.0)
+    m0b, m1b, m2b, _ = blocked_tables(scene.tri_w2b, scene.tri_attrs,
+                                      BLOCK_FACES)
+    occ = blocked_cast_any(ro, rd, m0b, m1b, m2b, scene.block_bounds,
+                           avoid, tmax, interpret=True)
+    ref = brute.cast_any(ro, rd, scene.tri_w2b, avoid, tmax)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref))

@@ -62,8 +62,8 @@ def time_variant(name, scene):
 
 def main():
     scene = cornell_box()
-    orig_any = F._group_cast_any
-    orig_closest = F._group_cast_closest
+    orig_any = F._tile_cast_mint
+    orig_closest = F._tile_cast_closest
     orig_sample = F.disney_sample
     orig_eval = F.disney_eval
     orig_lh = F._lights_hit_k
@@ -73,10 +73,10 @@ def main():
     full = time_variant('full kernel', scene)
 
     # no shadow cast: NEE treats everything unoccluded
-    F._group_cast_any = lambda t5, ro, rd, avoid, tmax, g, o, z, i: \
-        jnp.zeros((1, ro.x.shape[1]), jnp.int32)
+    F._tile_cast_mint = lambda t5, ro, rd, avoid, o, z, i: \
+        jnp.full(ro.x.shape, 1e6)
     time_variant('- shadow cast', scene)
-    F._group_cast_any = orig_any
+    F._tile_cast_mint = orig_any
 
     # no disney_sample: bounce straight up with pdf 1
     def fake_sample(p, normal, sign, indir, su, sv, sw):
@@ -114,24 +114,26 @@ def main():
         sh = mtlid.shape
         params = {'basecolor': V3(jnp.full(sh, 0.8), jnp.full(sh, 0.8),
                                   jnp.full(sh, 0.8))}
+        m1 = fac.shape[1]  # -1 would be a dynamic_slice inside Pallas
         for i, nm in enumerate(MATERIAL_PARAMS[1:]):
-            params[nm] = jnp.broadcast_to(fac[3 + i, -1], sh)
+            params[nm] = jnp.broadcast_to(fac[3 + i, m1 - 1], sh)
         return disney_derive(params)
     F._fetch_material_k = fake_fm
     time_variant('- material fetch', scene)
     F._fetch_material_k = orig_fm
 
     # closest cast replaced by a fixed plane hit (floor-ish)
-    def fake_closest(t5, attrs, ro, rd, avoid, g, ones1, zeros1, interp):
-        tr = ro.x.shape[1]
-        t = jnp.full((1, tr), 2.0)
-        idx = jnp.zeros((1, tr), jnp.int32)
-        a = jnp.concatenate([jnp.zeros((2, tr)), jnp.ones((1, tr)),
-                             jnp.zeros((3, tr))], axis=0)
-        return t, idx, a
-    F._group_cast_closest = fake_closest
+    def fake_closest(t5, attrs, ro, rd, avoid_lanes, ones1, zeros1, interp):
+        sh = ro.x.shape
+        t = jnp.full(sh, 2.0)
+        idx = jnp.zeros(sh, jnp.int32)
+        idx_lanes = jnp.zeros((1, sh[0] * sh[1]), jnp.int32)
+        zero = jnp.zeros(sh)
+        a6 = [zero, zero, jnp.ones(sh), zero, zero, zero]
+        return t, idx, idx_lanes, a6
+    F._tile_cast_closest = fake_closest
     time_variant('- closest cast', scene)
-    F._group_cast_closest = orig_closest
+    F._tile_cast_closest = orig_closest
 
     print(f'\nfull = {full * 1e3:.3f} ms; deltas above bound each stage.')
 
