@@ -390,7 +390,8 @@ def _path_kernel(rays_ref, u_ref, m_all_ref, attr_ref, fac_ref,
     zeros1 = jnp.zeros((1, tr))
     result = V3(zero, zero, zero)
     throughput = V3(one, one, one)
-    last_brdf_pdf = zero
+    # INF init = full first-hit emitter weight (see engine/path.py)
+    last_brdf_pdf = jnp.full(n_sh, INF)
     # self-hit exclusion, threaded in LANE-MAJOR [1, RG*TR] form (the
     # layout the casts consume and produce; see _tile_cast_closest).
     # Unlike the wavefront path it updates on every hit regardless of

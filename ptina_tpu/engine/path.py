@@ -142,7 +142,14 @@ def path_trace(scene, ro, rd, uniforms, model='disney'):
     result = V3(zero, zero, zero)
     one = jnp.ones(n_sh)
     throughput = V3(one, one, one)
-    carry = (ro, rd, throughput, result, zero,
+    # last_brdf_pdf starts at INF, not 0: before the first bounce there
+    # is no competing light-sampling strategy, so a directly-visible
+    # emitter must be collected at full weight (power_heuristic(INF, .)
+    # -> 1).  The reference initializes it to 0.0 (ptina/engine/
+    # path.py:23), which weights first-hit emitters to ~0 and renders
+    # them black — a bug this port fixes (caught by the brute-vs-path
+    # cross-check in tests/test_parity.py).
+    carry = (ro, rd, throughput, result, jnp.full(n_sh, INF),
              jnp.full(n_sh, -1, jnp.int32), jnp.ones(n_sh, bool))
 
     bounce_u = uniforms[2:2 + 6 * depth].reshape(

@@ -14,8 +14,8 @@ import numpy as np
 
 from ptina_tpu.scene import make_scene, LIGHT_AREA
 
-__all__ = ['BENCH_CAMERA', 'cornell_box', 'cornell_monkey', 'matball',
-           'cornell_box_vertices']
+__all__ = ['BENCH_CAMERA', 'cornell_box', 'cornell_monkey',
+           'cornell_highpoly', 'matball', 'cornell_box_vertices']
 
 # reference exams/benchmark.py:18-23
 BENCH_CAMERA = np.array([
@@ -123,9 +123,17 @@ def _materials():
 
 
 def _ceiling_light(size=0.8, power=12.0):
+    # The axes matrix must be RIGHT-handed with col2 = the pool's
+    # sampling normal: LightPool.hit() sees an area light from the side
+    # where ray.d . (col0 x col1) > 0 (reference Area.intersect,
+    # ptina/geometries.py:63-65) while sample() weights by
+    # dot(col2, dir-to-light) (light/__init__.py:115-117) — a
+    # left-handed axes makes the two queries disagree about which side
+    # emits (caught by tests/test_parity.py's brute-vs-path check).
+    # col2 = +y with x cross y' = +y means y' = -z.
     axes = np.stack([np.array([1.0, 0.0, 0.0]),
-                     np.array([0.0, 0.0, 1.0]),
-                     np.array([0.0, 1.0, 0.0])], axis=1)  # normal +y
+                     np.array([0.0, 0.0, -1.0]),
+                     np.array([0.0, 1.0, 0.0])], axis=1)
     return dict(color=(power, power, power), pos=(0.0, 3.98, 0.0),
                 size=size, type=LIGHT_AREA, axes=axes)
 
@@ -196,6 +204,30 @@ def cornell_monkey(**kw):
     verts = np.concatenate([
         _mesh_to_vertices(shell),
         _mesh_to_vertices(blob, normals=_sphere_smooth_normals(blob, (0.0, 1.3, 0.2))),
+        _mesh_to_vertices(tall),
+    ])
+    mtlids = np.asarray(mtl + [3] * blob.shape[0] + [0] * 12, np.int32)
+    kw.setdefault('cam_pers', BENCH_CAMERA)
+    kw.setdefault('lights', [_ceiling_light()])
+    kw.setdefault('world_fac', (0.05, 0.05, 0.05, 1.0))
+    return make_scene(verts, mtlids, materials=_materials(), **kw)
+
+
+def cornell_highpoly(nu=320, nv=160, **kw):
+    '''Cornell + a ~101k-triangle smooth sphere: the big-scene
+    configuration that exercises the blocked two-level cast
+    (intersect/blocked.py).  The reference handles this class of scene
+    through its LBVH (capacity 2^21 faces, ptina/things.py:13); the
+    dense single-pass kernels top out at 8192 faces, so this scene
+    auto-routes to accel='blocked' with Morton-ordered face blocks.'''
+    shell, mtl = _cornell_shell()
+    blob = _uv_sphere((0.0, 1.3, 0.2), 1.0, nu=nu, nv=nv)
+    tall = _box_tris((-1.2, 0.45, -0.9), (0.45, 0.45, 0.45),
+                     yaw=np.radians(20))
+    verts = np.concatenate([
+        _mesh_to_vertices(shell),
+        _mesh_to_vertices(blob, normals=_sphere_smooth_normals(
+            blob, (0.0, 1.3, 0.2))),
         _mesh_to_vertices(tall),
     ])
     mtlids = np.asarray(mtl + [3] * blob.shape[0] + [0] * 12, np.int32)

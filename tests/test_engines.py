@@ -24,15 +24,19 @@ def test_preview_aovs():
 
 
 def test_brute_converges_toward_path():
-    '''Brute-force and MIS integrators estimate the same integral: at
-    moderate spp their means over the image must agree within noise.'''
+    '''Brute-force and MIS integrators estimate the same integral: their
+    image means must agree within MC noise plus brute's expected
+    one-bounce direct-light lag at equal depth (~2% at depth 5; round 3
+    tightened this from 0.35, which had hidden a real emitter-weight
+    MIS bug AND an inconsistent light-axes handedness, both since
+    fixed — see tests/test_parity.py).'''
     scene = cornell_box()
-    spp = 48
+    spp = 128
     f_mis = render(scene, new_film(8, 8), 0, spp=spp)
     f_bru = render_brute(scene, new_film(8, 8), 0, spp=spp)
     m1 = float(np.asarray(film_to_image(f_mis))[..., :3].mean())
     m2 = float(np.asarray(film_to_image(f_bru))[..., :3].mean())
-    assert abs(m1 - m2) / max(m1, m2) < 0.35  # brute is high-variance
+    assert abs(m1 - m2) / max(m1, m2) < 0.08
 
 
 def test_mlt_runs_and_accumulates():
