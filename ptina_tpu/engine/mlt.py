@@ -2,11 +2,11 @@
 Primary-sample-space Metropolis light transport.
 
 Counterpart of the reference MLTPathEngine (ptina/engine/mltpath.py):
-2^18 parallel Markov chains over a 32-dim primary sample space; each
-step proposes either a large step (fresh uniforms, prob LSP) or a
-Gaussian mutation (sigma, wrapped mod 1), replays the path integrator
-with the chain's uniforms as the random stream, splats into the film,
-and Metropolis-accepts on luminance ratio.
+parallel Markov chains over a 32-dim primary sample space; each step
+proposes either a large step (fresh uniforms, prob LSP) or a Gaussian
+mutation (sigma, wrapped mod 1), replays the path integrator with the
+chain's uniforms as the random stream, splats into the film, and
+Metropolis-accepts on luminance ratio.
 
 TPU-native differences:
   * chains are a dimension-major [D, C] array advanced by one jitted
@@ -15,12 +15,24 @@ TPU-native differences:
     integrator directly;
   * cached radiance is a V3 of [C] rows;
   * film splats are deterministic scatter-adds (film_splat) instead of
-    racing atomics;
-  * the default splat is the two-way (accept-weighted both-states) form
-    from the reference's own improved prototype
-    (ptina/wip/metropolis.py:62-70), fixing the shipped engine's
-    known unnormalized-brightness issue (mltpath.py:38-45 commented
-    out); mode='reference' reproduces the shipped behavior exactly.
+    racing atomics.
+
+Estimator: the default mode='kelemen' is the standard normalized PSSMLT
+estimator (Kelemen et al. 2002) the reference never finished — its
+shipped engine splats raw proposal radiance with the normalization
+commented out ("having bug", ptina/engine/mltpath.py:38-45), and its
+wip two-way prototype (ptina/wip/metropolis.py:62-70) weights by
+acceptance but still lacks brightness normalization (measured round 3:
+58% brightness error on cornell).  Here every chain-step splats the
+importance-COMPENSATED radiance L/lum(L) weighted by the acceptance
+(new state) and its complement (current state), and the film's sample
+count accumulates the uniform b-normalization C / (b * npixels) per
+round, where b (mean image luminance) is estimated online from the
+large-step proposals — which are exactly uniform samples of the primary
+space.  film_to_image's rgb/w division then yields an actual radiance
+estimate, quantitatively comparable to the path engine
+(tests/test_mlt_quant.py).  mode='reference' reproduces the reference's
+shipped unnormalized behavior for parity.
 '''
 
 import functools
@@ -43,9 +55,11 @@ SIGMA = 0.01  # mutation size
 
 @flax.struct.dataclass
 class MLTState:
-    x: jnp.ndarray    # [D, C] primary samples (dimension-major)
-    l: V3             # cached radiance, [C] rows
-    key: jnp.ndarray  # PRNG key
+    x: jnp.ndarray      # [D, C] primary samples (dimension-major)
+    l: V3               # cached radiance, [C] rows
+    b_sum: jnp.ndarray  # [] running sum of large-step luminances
+    b_cnt: jnp.ndarray  # [] number of large-step proposals seen
+    key: jnp.ndarray    # PRNG key
 
 
 def mlt_init(key, nchains=2 ** 18, ndims=PATH_DIMS):
@@ -57,6 +71,8 @@ def mlt_init(key, nchains=2 ** 18, ndims=PATH_DIMS):
         x=jax.random.uniform(kx, (ndims, nchains)),
         l=V3(jnp.zeros((nchains,)), jnp.zeros((nchains,)),
              jnp.zeros((nchains,))),
+        b_sum=jnp.zeros(()),
+        b_cnt=jnp.zeros(()),
         key=knext,
     )
 
@@ -68,7 +84,7 @@ def _replay(scene, x):
     return path_trace(scene, ro, rd, x)
 
 
-def mlt_step(scene, state, film, lsp=LSP, sigma=SIGMA, mode='twoway'):
+def mlt_step(scene, state, film, lsp=LSP, sigma=SIGMA, mode='kelemen'):
     '''One mutation round for every chain.  Returns (state, film).'''
     d, c = state.x.shape
     nx, ny = film.shape[2], film.shape[3]
@@ -85,6 +101,11 @@ def mlt_step(scene, state, film, lsp=LSP, sigma=SIGMA, mode='twoway'):
     al_old = vavg3(state.l) + 1e-10
     accept = jnp.minimum(1.0, al_new / al_old)
 
+    # online brightness estimate from the large-step (= uniform) proposals
+    b_sum = state.b_sum + jnp.sum(jnp.where(large, al_new, 0.0))
+    b_cnt = state.b_cnt + jnp.sum(large.astype(jnp.float32))
+    b = b_sum / jnp.maximum(b_cnt, 1.0)
+
     def pix(x):
         xi = jnp.floor(x[0] * nx).astype(jnp.int32)
         yi = jnp.floor(x[1] * ny).astype(jnp.int32)
@@ -97,20 +118,29 @@ def mlt_step(scene, state, film, lsp=LSP, sigma=SIGMA, mode='twoway'):
         film = film_splat(film, 0, xi, yi, l_new.x, l_new.y, l_new.z,
                           jnp.ones((c,)))
     else:
-        # two-way accept-weighted splat (wip/metropolis.py:62-70)
-        w_new = accept
-        w_old = 1.0 - accept
+        # Kelemen estimator: splat importance-compensated radiance
+        # L/lum at both states, weighted by acceptance / its
+        # complement; the normalization C / (b * npix) accumulates
+        # uniformly in the sample-count channel so film_to_image's
+        # rgb/w division produces actual radiance.
+        w_new = accept / al_new
+        w_old = (1.0 - accept) / al_old
         xi_n, yi_n = pix(x_new)
         film = film_splat(film, 0, xi_n, yi_n, l_new.x * w_new,
-                          l_new.y * w_new, l_new.z * w_new, w_new)
+                          l_new.y * w_new, l_new.z * w_new,
+                          jnp.zeros((c,)))
         xi_o, yi_o = pix(state.x)
         film = film_splat(film, 0, xi_o, yi_o, state.l.x * w_old,
-                          state.l.y * w_old, state.l.z * w_old, w_old)
+                          state.l.y * w_old, state.l.z * w_old,
+                          jnp.zeros((c,)))
+        film = film.at[0, 3].add(c / (b * nx * ny))
 
     take = jax.random.uniform(k3, (c,)) < accept
     return MLTState(
         x=jnp.where(take[None, :], x_new, state.x),
         l=vwhere(take, l_new, state.l),
+        b_sum=b_sum,
+        b_cnt=b_cnt,
         key=knext,
     ), film
 
@@ -119,7 +149,7 @@ def mlt_step(scene, state, film, lsp=LSP, sigma=SIGMA, mode='twoway'):
                    static_argnames=('steps', 'mode'),
                    donate_argnames=('state', 'film'))
 def render_mlt(scene, state, film, steps=1, lsp=LSP, sigma=SIGMA,
-               mode='twoway'):
+               mode='kelemen'):
     '''Advance all chains `steps` rounds under one jit.'''
     def body(_, carry):
         st, f = carry

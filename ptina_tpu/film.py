@@ -14,10 +14,11 @@ every array to (8, 128) tiles, and a minor channel axis of 4 would store
 and move 32x the useful bytes on every accumulation.
 '''
 
+import jax
 import jax.numpy as jnp
 
 __all__ = ['new_film', 'film_add', 'film_splat', 'film_to_image',
-           'PASS_COMBINED', 'PASS_ALBEDO', 'PASS_NORMAL']
+           'film_to_flat_rgb', 'PASS_COMBINED', 'PASS_ALBEDO', 'PASS_NORMAL']
 
 PASS_COMBINED = 0
 PASS_ALBEDO = 1
@@ -61,3 +62,17 @@ def film_to_image(film, pass_id=0):
     out = jnp.concatenate([rgb, jnp.where(has, 1.0, 0.0)], axis=-1)
     pink = jnp.asarray(DEBUG_PINK, val.dtype)
     return jnp.where(has, out, pink)
+
+
+@jax.jit
+def film_to_flat_rgb(film, pass_id=0):
+    '''Device-side viewport export: normalize pass `pass_id` and return
+    a flat [ny*nx*3] f32 buffer in scanline (y-major) order — ONE fused
+    kernel + one readback, the TPU counterpart of the reference's
+    fast_export_image kernel (ptina/filmtable.py:65-79).  Empty pixels
+    export 0 (the GL blit path wants black, not debug pink).'''
+    val = film[pass_id]                      # [4, nx, ny]
+    w = val[3]
+    has = w != 0.0
+    rgb = jnp.where(has[None], val[:3] / jnp.where(has, w, 1.0)[None], 0.0)
+    return rgb.transpose(2, 1, 0).reshape(-1)  # [ny, nx, 3] scanlines

@@ -14,3 +14,6 @@ reduction uses psum over the mesh).
 from ptina_tpu.parallel.sharding import (  # noqa: F401
     make_mesh, render_sharded, train_step_sharded,
 )
+from ptina_tpu.parallel.distributed import (  # noqa: F401
+    init_distributed, global_mesh, is_distributed,
+)

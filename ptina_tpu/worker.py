@@ -195,9 +195,13 @@ def get_image(id=0):
 
 def fast_export_image(pixels, id=0):
     '''Flat RGB export (reference filmtable.py:65-79): pixels is a
-    preallocated [ny*nx*3] float buffer in scanline order.'''
-    img = get_image(id)
-    rgb = np.transpose(img[..., :3], (1, 0, 2)).reshape(-1)
+    preallocated [ny*nx*3] float buffer in scanline order.  Normalize +
+    transpose run in ONE jitted device kernel (film.film_to_flat_rgb);
+    the only host work is the readback copy — this is the per-pass call
+    of the Blender viewport ladder (blender.py ViewportRefiner).'''
+    from ptina_tpu.film import film_to_flat_rgb
+    _ensure_film()
+    rgb = np.asarray(film_to_flat_rgb(_S.film, id))
     pixels[:rgb.size] = rgb
 
 

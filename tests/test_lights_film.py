@@ -92,6 +92,21 @@ def test_film_accumulate_and_image():
     assert np.allclose(img1[..., :3], [0.9, 0.4, 0.9])
 
 
+def test_film_flat_rgb_export():
+    from ptina_tpu.film import film_to_flat_rgb
+    film = new_film(4, 6)
+    r = jnp.arange(24, dtype=jnp.float32).reshape(4, 6)
+    film = film_add(film, 0, r, 2.0 * r, 3.0 * r, jnp.ones((4, 6)))
+    flat = np.asarray(film_to_flat_rgb(film, 0))
+    # scanline (y-major) order of the normalized rgb, like the
+    # reference's fast_export_image (ptina/filmtable.py:65-79)
+    img = np.asarray(film_to_image(film, 0))
+    ref = np.transpose(img[..., :3], (1, 0, 2)).reshape(-1)
+    np.testing.assert_allclose(flat, ref, rtol=1e-6)
+    # untouched pass exports zeros (GL blit wants black, not pink)
+    assert (np.asarray(film_to_flat_rgb(film, 1)) == 0).all()
+
+
 def test_film_splat_scatter():
     film = new_film(8, 8)
     xi = jnp.asarray([1, 1, 5], jnp.int32)

@@ -25,6 +25,30 @@ def test_sharded_render_matches_single_device(eight_devices):
     assert np.allclose(np.asarray(single), np.asarray(sharded), atol=1e-5)
 
 
+def test_sharded_render_is_collective_free(eight_devices):
+    '''Rendering must stay communication-free at any mesh size — every
+    device owns its film band outright — so per-chip throughput is flat
+    in mesh size by construction (the scaling guarantee behind the
+    >= 80% two-host target, BASELINE.md:34; measured proxy in
+    tools/scaling_proxy.py).'''
+    from ptina_tpu.parallel.sharding import _render_fn
+    scene = cornell_box()
+    mesh = make_mesh(eight_devices)
+    nx, ny = 16, 8
+    fn = _render_fn(mesh, nx, ny, 1)
+    hlo = fn.lower(scene, new_film(nx, ny),
+                   jnp.asarray(0, jnp.int32)).compile().as_text()
+    for op in ('all-reduce', 'all-gather', 'all-to-all',
+               'collective-permute', 'reduce-scatter'):
+        assert op not in hlo, f'render HLO contains {op}'
+
+
+def test_init_distributed_single_process_noop():
+    from ptina_tpu.parallel import init_distributed, is_distributed
+    assert init_distributed() is False  # no coordinator configured
+    assert is_distributed() is False
+
+
 def test_train_step_sharded_runs_and_descends(eight_devices):
     scene = cornell_box()
     mesh = make_mesh(eight_devices)
