@@ -24,7 +24,10 @@ class Config:
     max_depth: int = 5
     mlt_large_step_prob: float = 0.25
     mlt_sigma: float = 0.01
-    mlt_chains: int = 2 ** 18
+    # MLT chain count; None = one chain per film pixel (at the 512x512
+    # benchmark film that equals the reference's fixed 2^18 chains,
+    # mltpath.py:11)
+    mlt_chains: int | None = None
 
     # --- film / rendering (reference blender.py:922-931 defaults) ---
     render_samples: int = 128
@@ -33,15 +36,17 @@ class Config:
     start_pixel_size: int = 8
     film_passes: int = 3
 
-    # --- capacities (reference things.py:12-19; static pad targets) ---
-    max_lights: int = 64
-    max_materials: int = 64
+    # --- capacities (reference things.py:12-19).  None = size each
+    # pool exactly to the scene (unused slots cost real per-bounce
+    # device work, see scene.make_lights/make_materials); set a number
+    # to reserve headroom so light/material edits skip recompiles. ---
+    max_lights: int | None = None
+    max_materials: int | None = None
     pad_faces_to: int = 8
 
-    # --- numerics (reference common.py:32-33, sobol.py:75) ---
-    eps: float = 1e-6
-    inf: float = 1e6
-    sobol_skip: int = 64
+    # numerics: the reference's eps/inf/sobol-skip knobs
+    # (common.py:32-33, sobol.py:75) are compile-time constants here —
+    # utils/mathutils.EPS/INF and sampling/sobol.SKIP.
 
 
 DEFAULT = Config()

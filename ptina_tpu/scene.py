@@ -320,7 +320,8 @@ def make_lights(lights=None, max_lights=None, default_light=True):
 def make_scene(vertices, mtlids=None, materials=None, images=None,
                lights=None, world_fac=(0.1, 0.1, 0.1, 0.1), world_tex=-1,
                cam_pers=None, default_light=True, pad_faces_to=8,
-               accel='auto', morton=None):
+               accel='auto', morton=None, max_lights=None,
+               max_materials=None):
     '''Assemble a Scene from host-side numpy data.
 
     vertices: [F*3, 8] float array (pos3 + nrm3 + uv2 per vertex, the
@@ -385,9 +386,10 @@ def make_scene(vertices, mtlids=None, materials=None, images=None,
         tri_w2b=precompute_tri_functionals(tri_pos_j),
         tri_attrs=pack_corner_attrs(tri_nrm_j, tri_uv_j, tri_mtl_j),
         nfaces=jnp.asarray(nfaces, jnp.int32),
-        materials=make_materials(materials),
+        materials=make_materials(materials, max_materials=max_materials),
         textures=make_textures(images),
-        lights=make_lights(lights, default_light=default_light),
+        lights=make_lights(lights, max_lights=max_lights,
+                           default_light=default_light),
         world_fac=jnp.asarray(world_fac, jnp.float32),
         world_tex=jnp.asarray(world_tex, jnp.int32),
         cam_v2w=jnp.asarray(np.linalg.inv(cam_pers), jnp.float32),

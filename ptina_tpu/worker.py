@@ -116,13 +116,24 @@ def _rebuild():
         lights=_S.lights if (_S.lights or not _S.default_light) else None,
         default_light=_S.default_light,
         world_fac=_S.world_fac, world_tex=_S.world_tex, cam_pers=cam,
-        accel=_S.config.accel)
+        accel=_S.config.accel, pad_faces_to=_S.config.pad_faces_to,
+        max_lights=_S.config.max_lights,
+        max_materials=_S.config.max_materials)
     _S.dirty = False
+    from ptina_tpu.utils.trace import log
+    from ptina_tpu.intersect.dispatch import _route
+    sc = _S.scene
+    log('TinaScene',
+        f'{int(sc.nfaces)} faces (pad {sc.tri_w2b.shape[0]}, '
+        f'accel={sc.accel} -> {_route(sc)}), '
+        f'{int(sc.lights.count)} lights, '
+        f'{sc.materials.fac.shape[0] - 1} materials, '
+        f'{sc.textures.data.shape[0]} textures')
 
 
 def _ensure_film():
     if _S.film is None:
-        _S.film = new_film(_S.nx, _S.ny)
+        _S.film = new_film(_S.nx, _S.ny, passes=_S.config.film_passes)
 
 
 def synchronize():
@@ -147,16 +158,19 @@ def render(aa=True):
     elif _S.engine == 'mlt':
         from ptina_tpu.engine.mlt import mlt_init, render_mlt
         if _S.mlt_state is None:
-            # one chain per pixel (the reference fixes 2^18 chains,
-            # mltpath.py:11 — at 512x512 that is exactly one per pixel)
-            _S.mlt_state = mlt_init(jax.random.key(0),
-                                    nchains=_S.nx * _S.ny)
+            # config.mlt_chains, defaulting to one chain per pixel (the
+            # reference fixes 2^18 chains, mltpath.py:11 — at 512x512
+            # that is exactly one per pixel)
+            nchains = _S.config.mlt_chains or _S.nx * _S.ny
+            _S.mlt_state = mlt_init(jax.random.key(0), nchains=nchains)
         _S.mlt_state, _S.film = render_mlt(
             _S.scene, _S.mlt_state, _S.film, steps=1,
             lsp=_S.mlt_lsp, sigma=_S.mlt_sigma)
     else:
         raise ValueError(f'unknown engine {_S.engine!r}')
     _S.sample_index += 1
+    from ptina_tpu.utils.trace import log
+    log('TinaRender', f'sample {_S.sample_index} ({_S.engine})', level=2)
 
 
 def render_preview(aa=True):
