@@ -46,11 +46,9 @@ MAX_FUSED_FACES = 1024  # [F, TR] working set must fit VMEM
 
 
 def _tr_for(f):
-    if f <= 256:
-        return 512
-    if f <= 512:
-        return 256
-    return 128
+    # the cast works set is bounded per FACE_CHUNK (not per F), so the
+    # lane tile stays wide regardless of face count
+    return 512
 
 
 def fused_eligible(scene):
@@ -86,77 +84,128 @@ def fused_eligible(scene):
 _BIG = 2 ** 30  # python int: a jnp scalar here would be a captured constant
 
 
-def _recip(x, interp=False):
-    '''~1-ulp reciprocal: hardware approximation + one Newton step.
-    (Plain division under the Pallas interpreter, where the TPU
-    reciprocal primitive has no lowering.)'''
+def _recip(x, interp=False, approx=False):
+    '''Reciprocal: hardware approximation, plus one Newton step unless
+    approx=True (~2^-12 relative suffices for comparison-grade t and
+    shading barycentrics).  (Plain division under the Pallas
+    interpreter, where the TPU reciprocal primitive has no lowering.)'''
     if interp:
         return 1.0 / x
     r = pl.reciprocal(x, approx=True)
+    if approx:
+        return r
     return r * (2.0 - x * r)
 
 
-CAST_BF16 = False  # experiment knob: bf16 cast matmuls (f32 accumulate)
+FACE_CHUNK = 64  # faces per in-kernel cast chunk.  The chunk matmul
+# output [5*FC, RG*TR] f32 materializes in full (an unchunked F=968
+# kernel OOMed the ~16 MB scoped VMEM at 19.8 MB), so FC bounds it:
+# 5*64*4096*4B = 5.2 MB, leaving room for the ~5 tail temps per chunk.
+
+# packed comparison key: the i32 bit pattern of a POSITIVE f32 orders
+# like the float, so (t_bits & ~KEY_FID_MASK) | face_id min-reduces to
+# the nearest hit with ties broken toward the lowest face id (the
+# reference's first-hit-wins tie rule) in ONE reduction.  11 id bits
+# cover MAX_FUSED_FACES; t resolution loss is 2^-12 relative.
+KEY_FID_MASK = 2047
+_KEY_INF = int.from_bytes(__import__('struct').pack('>f', INF), 'big')
 
 
-def _uvwta(t5, q):
-    '''[5F, 14] @ [14, TR] -> U, V, W, B(=b0), A(=a0) as [F, TR].'''
-    f = t5.shape[0] // 5
-    if CAST_BF16:
-        g = jnp.dot(t5.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32)
-    else:
-        g = jnp.dot(t5, q, preferred_element_type=jnp.float32)
-    return g[0:f], g[f:2 * f], g[2 * f:3 * f], g[3 * f:4 * f], g[4 * f:5 * f]
+def _uvwta(t5c, q):
+    '''[5FC, 14] @ [14, NR] -> U, V, W, B(=b0), A(=a0) as [FC, NR].'''
+    fc = t5c.shape[0] // 5
+    g = jnp.dot(t5c, q, preferred_element_type=jnp.float32)
+    return (g[0:fc], g[fc:2 * fc], g[2 * fc:3 * fc], g[3 * fc:4 * fc],
+            g[4 * fc:5 * fc])
+
+
+def _chunk_valid(U, V, W, B, A, base, avoid):
+    '''Division-free validity: u,v,w >= 0 <=> U,V,W sign-match B, and
+    t > 0 <=> A,B have opposite signs.  B == 0 lanes (parallel rays,
+    all-zero padding faces) fail the A-test or produce t = INF and
+    never win.  Returns (valid, fids).'''
+    bpos = B >= 0.0
+    fids = base + jax.lax.broadcasted_iota(jnp.int32, B.shape, 0)
+    valid = (((U >= 0.0) == bpos) & ((V >= 0.0) == bpos)
+             & (((W >= 0.0) == bpos)) & ((A >= 0.0) != bpos)
+             & (fids != avoid))
+    return valid, fids
 
 
 def _cast_closest_k(t5, attrs, q, avoid, interp=False):
-    '''Closest hit + interpolated attributes for one ray tile.
-    Returns (t [1,TR], index [1,TR] i32 (-1 = miss), attrs [6, TR]).'''
-    U, V, W, B, A = _uvwta(t5, q)
-    r = _recip(B, interp)
-    t = A * (-r)
-    m = jnp.minimum(jnp.minimum(U * r, V * r), W * r)
-    fids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-    valid = (m >= 0.0) & (t > 0.0) & (fids != avoid)
-    ts = jnp.where(valid, t, INF)
-    tmin = jnp.min(ts, axis=0, keepdims=True)            # [1, TR]
-    cand = jnp.where(ts == tmin, fids, _BIG)
-    widx = jnp.min(cand, axis=0, keepdims=True)          # [1, TR]
-    ff = ((fids == widx) & valid).astype(jnp.float32)    # winner one-hot
-    # idx (i32) is the only hit flag returned: i1 rows cannot be
-    # re-stacked across sublane groups (Mosaic rejects the vreg cast)
-    hitm = tmin < INF
-    idx = jnp.where(hitm, widx, -1)
-    # winner barycentrics from the FINITE numerators: r is inf/nan for
-    # parallel rays and zero-padding faces, and nan * (ff == 0) would
-    # poison the sums; one per-ray division of the winner sums instead.
-    un = jnp.sum(U * ff, axis=0, keepdims=True)
-    vn = jnp.sum(V * ff, axis=0, keepdims=True)
-    bw = jnp.sum(B * ff, axis=0, keepdims=True)
-    rw = _recip(bw, interp)
-    uw = jnp.where(hitm, un * rw, 0.0)
-    vw = jnp.where(hitm, vn * rw, 0.0)
-    # [3C, F] @ [F, TR] winner gather on the MXU, then barycentric mix
-    corners = jnp.dot(attrs, ff, preferred_element_type=jnp.float32)
-    c = corners.shape[0] // 3
-    out = (corners[0 * c:1 * c] * (1.0 - uw - vw)
-           + corners[1 * c:2 * c] * uw + corners[2 * c:3 * c] * vw)
-    return tmin, idx, out
+    '''Closest hit + interpolated attributes for one ray tile, walking
+    the face table in FACE_CHUNK chunks with a running packed-key
+    minimum.  t5: [5F, 14] chunk-major (see _pack_tri5); attrs [3C, F];
+    q [14, NR].  Returns (t [1,NR], index [1,NR] i32 (-1 = miss),
+    attrs [C, NR]).'''
+    f = attrs.shape[-1]
+    nc = -(-f // FACE_CHUNK)
+    nr = q.shape[1]
+    c = attrs.shape[0] // 3
+
+    best_key = jnp.full((1, nr), _KEY_INF | KEY_FID_MASK, jnp.int32)
+    best_t = jnp.full((1, nr), INF)
+    best_u = jnp.zeros((1, nr))
+    best_v = jnp.zeros((1, nr))
+    best_att = jnp.zeros((c, nr))
+    for ci in range(nc):
+        fc = min(FACE_CHUNK, f - ci * FACE_CHUNK)
+        t5c = t5[5 * ci * FACE_CHUNK:5 * ci * FACE_CHUNK + 5 * fc]
+        attc = attrs[:, ci * FACE_CHUNK:ci * FACE_CHUNK + fc]
+        U, V, W, B, A = _uvwta(t5c, q)
+        valid, fids = _chunk_valid(U, V, W, B, A, ci * FACE_CHUNK, avoid)
+        r = _recip(B, interp, approx=True)
+        # clamp to the INF sentinel: B ~ 0 lanes produce float-inf/nan
+        # t which must neither win nor poison the one-hot sums below
+        ts = jnp.minimum(jnp.where(valid, A * (-r), INF), INF)
+        fin = ts < INF
+        uel = jnp.where(fin, U * r, 0.0)
+        vel = jnp.where(fin, V * r, 0.0)
+        key = ((jax.lax.bitcast_convert_type(ts, jnp.int32)
+                & ~jnp.int32(KEY_FID_MASK)) | fids)
+        km = jnp.min(key, axis=0, keepdims=True)          # [1, NR]
+        ff = (key == km).astype(jnp.float32)              # local winner
+        # winner t/u/v by one-hot sums (u = U r, v = V r elementwise;
+        # approx reciprocal is plenty for shading interpolation)
+        tw = jnp.sum(ts * ff, axis=0, keepdims=True)
+        uw = jnp.sum(uel * ff, axis=0, keepdims=True)
+        vw = jnp.sum(vel * ff, axis=0, keepdims=True)
+        corners = jnp.dot(attc, ff, preferred_element_type=jnp.float32)
+        att = (corners[0 * c:1 * c] * (1.0 - uw - vw)
+               + corners[1 * c:2 * c] * uw + corners[2 * c:3 * c] * vw)
+        better = km < best_key
+        best_key = jnp.where(better, km, best_key)
+        best_t = jnp.where(better, tw, best_t)
+        best_u = jnp.where(better, uw, best_u)
+        best_v = jnp.where(better, vw, best_v)
+        best_att = jnp.where(better, att, best_att)
+    # the t sentinel, not the key, is the miss flag (a masked INF key
+    # pattern sorts BELOW the raw INF bit pattern)
+    hitm = best_t < INF
+    idx = jnp.where(hitm, best_key & KEY_FID_MASK, -1)
+    best_att = jnp.where(hitm, best_att, 0.0)
+    return best_t, idx, best_att
 
 
 def _cast_mint_k(t5, q, avoid, interp=False):
-    '''Nearest valid t per ray, [1, NR] f32 (INF = no hit).  The batched
-    shadow test: comparing this against the light distance OUTSIDE the
-    cast (in ray-tile layout) spares the [RG, TR] -> lane-major relayout
-    a tmax input would force.'''
-    U, V, W, B, A = _uvwta(t5, q)
-    r = _recip(B, interp)
-    t = A * (-r)
-    m = jnp.minimum(jnp.minimum(U * r, V * r), W * r)
-    fids = jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-    valid = (m >= 0.0) & (t > 0.0) & (fids != avoid)
-    return jnp.min(jnp.where(valid, t, INF), axis=0, keepdims=True)
+    '''Nearest valid t per ray, [1, NR] f32 (INF = no hit), chunked like
+    _cast_closest_k.  The batched shadow test: comparing this against
+    the light distance OUTSIDE the cast (in ray-tile layout) spares the
+    [RG, TR] -> lane-major relayout a tmax input would force.'''
+    f5 = t5.shape[0]
+    f = f5 // 5
+    nc = -(-f // FACE_CHUNK)
+    nr = q.shape[1]
+    best = jnp.full((1, nr), INF)
+    for ci in range(nc):
+        fc = min(FACE_CHUNK, f - ci * FACE_CHUNK)
+        t5c = t5[5 * ci * FACE_CHUNK:5 * ci * FACE_CHUNK + 5 * fc]
+        U, V, W, B, A = _uvwta(t5c, q)
+        valid, _ = _chunk_valid(U, V, W, B, A, ci * FACE_CHUNK, avoid)
+        r = _recip(B, interp, approx=True)
+        ts = jnp.where(valid, A * (-r), INF)
+        best = jnp.minimum(best, jnp.min(ts, axis=0, keepdims=True))
+    return best
 
 
 # ---------------------------------------------------------------------------
@@ -439,7 +488,11 @@ def _path_kernel(rays_ref, u_ref, m_all_ref, attr_ref, fac_ref,
                                 | (li_color.z > 0.0))
         result = result + vwhere(nee_ok, throughput * nee, 0.0)
 
-        # BSDF bounce (reference path.py:58-62)
+        # BSDF bounce (reference path.py:58-62) — skipped on the final
+        # bounce: its outdir/throughput update feeds nothing (the
+        # reference runs it and discards the result)
+        if b == depth - 1:
+            break
         outdir, pdf, color = disney_sample(material, normal, sign,
                                            -1.0 * rd, u[3], u[4], u[5])
         throughput = vwhere(live, throughput * color, throughput)
@@ -480,7 +533,9 @@ _IJ = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
 def _pack_tri5(tri_w2b):
     '''[5F, 14] Plücker cast matrix from the [F, 3, 4] functionals:
     F rows each of U-, V-, W-, b0- and a0-coefficients against the ray
-    feature vector of _group_q (see _uvwta).'''
+    feature vector of _group_q (see _uvwta).  CHUNK-MAJOR row order:
+    [U V W B A] row groups repeat per FACE_CHUNK of faces so the
+    kernel's chunk loop slices contiguous [5*fc, 14] blocks.'''
     m0, m1, m2 = tri_w2b[:, 0], tri_w2b[:, 1], tri_w2b[:, 2]  # [F, 4]
 
     def anti(ma, mb):
@@ -497,7 +552,12 @@ def _pack_tri5(tri_w2b):
     r_w = jnp.concatenate([-(cu + cv), m0, z4], axis=1)  # W = b0 - U - V
     r_b = jnp.concatenate([z6, m0, z4], axis=1)          # b0 = m0 . d4
     r_a = jnp.concatenate([z6, z4, m0], axis=1)          # a0 = m0 . o4
-    return jnp.concatenate([r_u, r_v, r_w, r_b, r_a], axis=0)
+    f = m0.shape[0]
+    rows = []
+    for ci in range(0, f, FACE_CHUNK):
+        e = min(ci + FACE_CHUNK, f)
+        rows += [r_u[ci:e], r_v[ci:e], r_w[ci:e], r_b[ci:e], r_a[ci:e]]
+    return jnp.concatenate(rows, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
