@@ -112,23 +112,48 @@ _KEY_INF = int.from_bytes(__import__('struct').pack('>f', INF), 'big')
 
 
 def _uvwta(t5c, q):
-    '''[5FC, 14] @ [14, NR] -> U, V, W, B(=b0), A(=a0) as [FC, NR].'''
+    '''[5FC, 14] @ [14, NR] -> U, V, W, B(=b0), A'(= -a0) as [FC, NR].
+
+    Matmul precision: jax's DEFAULT on TPU feeds the MXU single-pass
+    bf16-truncated inputs with f32 accumulation.  Measured: explicitly
+    casting the operands to bf16 produces BIT-IDENTICAL images at the
+    same speed (the truncation already happens), and Precision.HIGHEST
+    (3-pass exact f32) blew the compile budget on the chunked kernel.
+    The ~2^-9 coefficient quantization is invisible at render noise
+    levels — the f32 tail (reciprocal, compares) is what preserves the
+    hit ordering.'''
     fc = t5c.shape[0] // 5
     g = jnp.dot(t5c, q, preferred_element_type=jnp.float32)
     return (g[0:fc], g[fc:2 * fc], g[2 * fc:3 * fc], g[3 * fc:4 * fc],
             g[4 * fc:5 * fc])
 
 
-def _chunk_valid(U, V, W, B, A, base, avoid):
-    '''Division-free validity: u,v,w >= 0 <=> U,V,W sign-match B, and
-    t > 0 <=> A,B have opposite signs.  B == 0 lanes (parallel rays,
-    all-zero padding faces) fail the A-test or produce t = INF and
-    never win.  Returns (valid, fids).'''
-    bpos = B >= 0.0
+def _i32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _chunk_valid(U, V, W, B, An, base, avoid):
+    '''Division-free validity in 11 ops/pair (vs 14 for the compare-
+    per-term form; the tail runs at VPU speed of light so each op is
+    measurable):
+      u,v,w >= 0  <=>  U,V,W sign-match B  <=>  (U^B)|(V^B)|(W^B) >= 0
+                       (sign-BIT tests; bitcasts are free views)
+      t > 0       <=>  An and B same sign and both nonzero
+                  <=>  An * B > 0   (one mul + one compare, and it
+                       subsumes every degenerate case: B == 0 parallel
+                       rays, all-zero padding faces, An == 0 origins on
+                       the plane — IEEE gives the product +/-0 or a
+                       sign-correct value; denormal underflow to 0 only
+                       drops hits with t far beyond the INF clamp)
+    Valid lanes therefore have An * r strictly positive and never NaN
+    (B != 0 guaranteed; denormal B gives +inf, clamped by the caller).
+    Exact-edge hits whose numerator computes to -0.0 are rejected where
+    the >=-form accepted them — a measure-zero semantics difference.
+    Returns (valid, fids).'''
+    bi = _i32(B)
     fids = base + jax.lax.broadcasted_iota(jnp.int32, B.shape, 0)
-    valid = (((U >= 0.0) == bpos) & ((V >= 0.0) == bpos)
-             & (((W >= 0.0) == bpos)) & ((A >= 0.0) != bpos)
-             & (fids != avoid))
+    side = (_i32(U) ^ bi) | (_i32(V) ^ bi) | (_i32(W) ^ bi)
+    valid = (side >= 0) & (An * B > 0.0) & (fids != avoid)
     return valid, fids
 
 
@@ -137,14 +162,21 @@ def _cast_closest_k(t5, attrs, q, avoid, interp=False):
     the face table in FACE_CHUNK chunks with a running packed-key
     minimum.  t5: [5F, 14] chunk-major (see _pack_tri5); attrs [3C, F];
     q [14, NR].  Returns (t [1,NR], index [1,NR] i32 (-1 = miss),
-    attrs [C, NR]).'''
+    attrs [C, NR]).
+
+    The winner's t is NOT extracted by a one-hot sum: the packed key IS
+    t's bit pattern above the fid bits, so masking and bitcasting the
+    reduced key back to f32 recovers t at 2^-12 relative — per-RAY ops
+    instead of per-(face, ray) ops (the tail runs at VPU speed of
+    light, ~1.7e12 f32 ops/s measured, so every per-pair op is ~0.03
+    ms/sample at 512x512x5 bounces on the 34-face cornell).'''
     f = attrs.shape[-1]
     nc = -(-f // FACE_CHUNK)
     nr = q.shape[1]
     c = attrs.shape[0] // 3
 
-    best_key = jnp.full((1, nr), _KEY_INF | KEY_FID_MASK, jnp.int32)
-    best_t = jnp.full((1, nr), INF)
+    key_miss = _KEY_INF | KEY_FID_MASK
+    best_key = jnp.full((1, nr), key_miss, jnp.int32)
     best_u = jnp.zeros((1, nr))
     best_v = jnp.zeros((1, nr))
     best_att = jnp.zeros((c, nr))
@@ -152,36 +184,43 @@ def _cast_closest_k(t5, attrs, q, avoid, interp=False):
         fc = min(FACE_CHUNK, f - ci * FACE_CHUNK)
         t5c = t5[5 * ci * FACE_CHUNK:5 * ci * FACE_CHUNK + 5 * fc]
         attc = attrs[:, ci * FACE_CHUNK:ci * FACE_CHUNK + fc]
-        U, V, W, B, A = _uvwta(t5c, q)
-        valid, fids = _chunk_valid(U, V, W, B, A, ci * FACE_CHUNK, avoid)
+        U, V, W, B, An = _uvwta(t5c, q)
+        valid, fids = _chunk_valid(U, V, W, B, An, ci * FACE_CHUNK, avoid)
         r = _recip(B, interp, approx=True)
-        # clamp to the INF sentinel: B ~ 0 lanes produce float-inf/nan
-        # t which must neither win nor poison the one-hot sums below
-        ts = jnp.minimum(jnp.where(valid, A * (-r), INF), INF)
-        fin = ts < INF
-        uel = jnp.where(fin, U * r, 0.0)
-        vel = jnp.where(fin, V * r, 0.0)
-        key = ((jax.lax.bitcast_convert_type(ts, jnp.int32)
-                & ~jnp.int32(KEY_FID_MASK)) | fids)
+        # valid sign structure guarantees An * r >= 0; B ~ 0 gives
+        # inf/huge t, clamped to the INF sentinel so it cannot win
+        ts = jnp.minimum(An * r, INF)
+        # barycentrics with a CLAMPED reciprocal: r = inf (B == 0)
+        # would make uel nan-poison the one-hot sums; huge-but-finite
+        # values are annihilated by the zero one-hot instead
+        rc = jnp.minimum(r, 1e18)
+        uel = U * rc
+        vel = V * rc
+        key = jnp.where(
+            valid,
+            (_i32(ts) & ~jnp.int32(KEY_FID_MASK)) | fids,
+            key_miss)
         km = jnp.min(key, axis=0, keepdims=True)          # [1, NR]
         ff = (key == km).astype(jnp.float32)              # local winner
-        # winner t/u/v by one-hot sums (u = U r, v = V r elementwise;
-        # approx reciprocal is plenty for shading interpolation)
-        tw = jnp.sum(ts * ff, axis=0, keepdims=True)
         uw = jnp.sum(uel * ff, axis=0, keepdims=True)
         vw = jnp.sum(vel * ff, axis=0, keepdims=True)
         corners = jnp.dot(attc, ff, preferred_element_type=jnp.float32)
         att = (corners[0 * c:1 * c] * (1.0 - uw - vw)
                + corners[1 * c:2 * c] * uw + corners[2 * c:3 * c] * vw)
-        better = km < best_key
-        best_key = jnp.where(better, km, best_key)
-        best_t = jnp.where(better, tw, best_t)
-        best_u = jnp.where(better, uw, best_u)
-        best_v = jnp.where(better, vw, best_v)
-        best_att = jnp.where(better, att, best_att)
-    # the t sentinel, not the key, is the miss flag (a masked INF key
-    # pattern sorts BELOW the raw INF bit pattern)
-    hitm = best_t < INF
+        if nc == 1:
+            best_key, best_u, best_v, best_att = km, uw, vw, att
+        else:
+            better = km < best_key
+            best_key = jnp.where(better, km, best_key)
+            best_u = jnp.where(better, uw, best_u)
+            best_v = jnp.where(better, vw, best_v)
+            best_att = jnp.where(better, att, best_att)
+    # winner t from the key's own bits (masked low bits only make it
+    # ~2^-12 smaller); the miss sentinel decodes to a t >= INF
+    best_t = jax.lax.bitcast_convert_type(
+        best_key & ~jnp.int32(KEY_FID_MASK), jnp.float32)
+    hitm = best_key != key_miss
+    best_t = jnp.where(hitm, best_t, INF)
     idx = jnp.where(hitm, best_key & KEY_FID_MASK, -1)
     best_att = jnp.where(hitm, best_att, 0.0)
     return best_t, idx, best_att
@@ -200,10 +239,10 @@ def _cast_mint_k(t5, q, avoid, interp=False):
     for ci in range(nc):
         fc = min(FACE_CHUNK, f - ci * FACE_CHUNK)
         t5c = t5[5 * ci * FACE_CHUNK:5 * ci * FACE_CHUNK + 5 * fc]
-        U, V, W, B, A = _uvwta(t5c, q)
-        valid, _ = _chunk_valid(U, V, W, B, A, ci * FACE_CHUNK, avoid)
+        U, V, W, B, An = _uvwta(t5c, q)
+        valid, _ = _chunk_valid(U, V, W, B, An, ci * FACE_CHUNK, avoid)
         r = _recip(B, interp, approx=True)
-        ts = jnp.where(valid, A * (-r), INF)
+        ts = jnp.where(valid, An * r, INF)
         best = jnp.minimum(best, jnp.min(ts, axis=0, keepdims=True))
     return best
 
@@ -551,7 +590,10 @@ def _pack_tri5(tri_w2b):
     r_v = jnp.concatenate([cv, z4, z4], axis=1)
     r_w = jnp.concatenate([-(cu + cv), m0, z4], axis=1)  # W = b0 - U - V
     r_b = jnp.concatenate([z6, m0, z4], axis=1)          # b0 = m0 . d4
-    r_a = jnp.concatenate([z6, z4, m0], axis=1)          # a0 = m0 . o4
+    r_a = jnp.concatenate([z6, z4, -m0], axis=1)         # An = -m0 . o4
+    # (the a0 row is NEGATED at pack time: t = -a0/b0 = An * (1/b0), so
+    # the kernel never spends a per-pair negate, and t > 0 becomes the
+    # same-sign test An * B > 0 — see _chunk_valid)
     f = m0.shape[0]
     rows = []
     for ci in range(0, f, FACE_CHUNK):
@@ -610,5 +652,12 @@ def fused_trace(scene, ro, rd, uniforms, interpret=False):
         out_specs=[blk(RG)] * 3,
         out_shape=[out_sh, out_sh, out_sh],
         interpret=interpret,
+        # the unrolled chunk loop's overlapping matmul outputs push the
+        # scoped-VMEM stack past Mosaic's 16 MB default on big face
+        # tables; the scene tables themselves are small, so most of the
+        # 128 MB VMEM is available as scratch
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=('parallel',),
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(rays, u, t5, attrs, fac, lt, cnt, wf)
     return V3(rx.reshape(-1)[:n], gx.reshape(-1)[:n], bx.reshape(-1)[:n])

@@ -34,7 +34,7 @@ from ptina_tpu.intersect.dispatch import cast_shadow, cast_shaded
 from ptina_tpu.lights import lights_hit, lights_sample, world_at
 from ptina_tpu.mtllib import fetch_material
 from ptina_tpu.materials.simple import bsdf_eval, bsdf_sample
-from ptina_tpu.sampling.sobol import sample_dims
+from ptina_tpu.sampling.sobol import sample_dims, pixel_rotation
 from ptina_tpu.film import film_add
 
 __all__ = ['MAX_DEPTH', 'PATH_DIMS', 'power_heuristic',
@@ -159,8 +159,17 @@ def path_trace(scene, ro, rd, uniforms, model='disney'):
     return carry[3]
 
 
+def pixel_grid(nx, ny, x0=0, y0=0):
+    '''Flattened global pixel-id rows [N] for an (nx, ny) film tile at
+    offset (x0, y0) — the ij arguments of sampling.sobol.sample_dims.'''
+    ii, jj = jnp.meshgrid(x0 + jnp.arange(nx), y0 + jnp.arange(ny),
+                          indexing='ij')
+    return ii.reshape(-1), jj.reshape(-1)
+
+
 def render_sample(scene, film, sample_index, x0=0, y0=0, full_res=None,
-                  fused=None, model='disney', max_depth=MAX_DEPTH):
+                  fused=None, model='disney', max_depth=MAX_DEPTH,
+                  rot=None):
     '''Accumulate one progressive sample over the film into pass 0
     (reference PathEngine.render/do_render, path.py:75-93).
 
@@ -175,14 +184,13 @@ def render_sample(scene, film, sample_index, x0=0, y0=0, full_res=None,
     scene is eligible on TPU, engine/fused.py), False = force the
     wavefront path (required under autodiff — no grad through the
     megakernel), True = force the megakernel.
-    max_depth: bounce cap (config.max_depth; reference path.py:25).'''
+    max_depth: bounce cap (config.max_depth; reference path.py:25).
+    rot: optional precomputed per-pixel Cranley-Patterson rotation
+    (see sample_dims) — pass it when calling in a per-sample loop.'''
     _, _, nx, ny = film.shape
     fnx, fny = full_res if full_res is not None else (nx, ny)
-    ii, jj = jnp.meshgrid(x0 + jnp.arange(nx), y0 + jnp.arange(ny),
-                          indexing='ij')
-    ii = ii.reshape(-1)
-    jj = jj.reshape(-1)
-    u = sample_dims(sample_index, ii, jj, 2 + 6 * max_depth)
+    ii, jj = pixel_grid(nx, ny, x0, y0)
+    u = sample_dims(sample_index, ii, jj, 2 + 6 * max_depth, rot=rot)
 
     x = (ii.astype(jnp.float32) + u[0]) / fnx * 2.0 - 1.0
     y = (jj.astype(jnp.float32) + u[1]) / fny * 2.0 - 1.0
@@ -211,9 +219,15 @@ def _render_step(scene, film, sample_index, model='disney', spb=1,
     if spb == 1:
         return render_sample(scene, film, sample_index, model=model,
                              max_depth=max_depth)
+    # the per-pixel rotation is sample-invariant: compute it ONCE per
+    # dispatch, not per scanned sample (measured 1.8 ms/sample at
+    # 512x512 — formerly 60% of the whole budget; see sample_dims)
+    _, _, nx, ny = film.shape
+    ii, jj = pixel_grid(nx, ny)
+    rot = pixel_rotation(ii, jj, 2 + 6 * max_depth)
     film, _ = jax.lax.scan(
         lambda f, s: (render_sample(scene, f, s, model=model,
-                                    max_depth=max_depth), None),
+                                    max_depth=max_depth, rot=rot), None),
         film, sample_index + jnp.arange(spb, dtype=jnp.int32))
     return film
 
