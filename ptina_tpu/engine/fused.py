@@ -33,6 +33,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ptina_tpu.utils.mathutils import INF
+from ptina_tpu.intersect.plucker import (
+    FACE_CHUNK, KEY_FID_MASK, KEY_MISS, pack_plucker,
+    cast_closest_chunks, cast_mint_chunks, key_decode_t)
 from ptina_tpu.utils.vec import V3, vdot, vdot_or_zero, vnormalize, vwhere, vavg3
 from ptina_tpu.engine.path import MAX_DEPTH, power_heuristic
 from ptina_tpu.materials.disney import disney_derive, disney_eval, disney_sample
@@ -61,190 +64,10 @@ def fused_eligible(scene):
             and untextured)
 
 
-# ---------------------------------------------------------------------------
-# in-kernel geometry: Plücker-form ray casts.
-#
-# The generic cast evaluates a = M [o,1], b = M [d,0] per functional row
-# and then spends ~2 VPU ops per (face, ray) just to form the barycentric
-# numerators U = a1 b0 - a0 b1, V = a2 b0 - a0 b2.  But U and V are
-# BILINEAR in (o, d): U = sum_{i<j} C_ij (o_i d_j - o_j d_i) with
-# per-triangle antisymmetric coefficients C — i.e. a dot product of a
-# per-triangle 6-vector with the ray's Plücker coordinates.  So one MXU
-# matmul [5F, 14] @ [14, TR] yields U, V, W = b0-U-V, b0 and a0 for every
-# pair, and the VPU only runs the cheap tail:
-#     r = 1/b0;  t = -a0 r;  (u,v,w) = (U,V,W) r;
-#     valid = min(u,v,w) >= 0 and t > 0       (reference closed-triangle
-#     semantics: ptina/geometries.py:117-148; u,v,w >= 0 <=> u,v >= 0 and
-#     u+v <= 1)
-# Division is one approx reciprocal + one Newton step.  b0 == 0
-# (parallel rays, degenerate padding faces) makes r -> inf/nan and the
-# min()/compare chain rejects the lane — no eps test needed.
-# ---------------------------------------------------------------------------
-
-_BIG = 2 ** 30  # python int: a jnp scalar here would be a captured constant
-
-
-def _recip(x, interp=False, approx=False):
-    '''Reciprocal: hardware approximation, plus one Newton step unless
-    approx=True (~2^-12 relative suffices for comparison-grade t and
-    shading barycentrics).  (Plain division under the Pallas
-    interpreter, where the TPU reciprocal primitive has no lowering.)'''
-    if interp:
-        return 1.0 / x
-    r = pl.reciprocal(x, approx=True)
-    if approx:
-        return r
-    return r * (2.0 - x * r)
-
-
-FACE_CHUNK = 64  # faces per in-kernel cast chunk.  The chunk matmul
-# output [5*FC, RG*TR] f32 materializes in full (an unchunked F=968
-# kernel OOMed the ~16 MB scoped VMEM at 19.8 MB), so FC bounds it:
-# 5*64*4096*4B = 5.2 MB, leaving room for the ~5 tail temps per chunk.
-
-# packed comparison key: the i32 bit pattern of a POSITIVE f32 orders
-# like the float, so (t_bits & ~KEY_FID_MASK) | face_id min-reduces to
-# the nearest hit with ties broken toward the lowest face id (the
-# reference's first-hit-wins tie rule) in ONE reduction.  11 id bits
-# cover MAX_FUSED_FACES; t resolution loss is 2^-12 relative.
-KEY_FID_MASK = 2047
-_KEY_INF = int.from_bytes(__import__('struct').pack('>f', INF), 'big')
-
-
-def _uvwta(t5c, q):
-    '''[5FC, 14] @ [14, NR] -> U, V, W, B(=b0), A'(= -a0) as [FC, NR].
-
-    Matmul precision: jax's DEFAULT on TPU feeds the MXU single-pass
-    bf16-truncated inputs with f32 accumulation.  Measured: explicitly
-    casting the operands to bf16 produces BIT-IDENTICAL images at the
-    same speed (the truncation already happens), and Precision.HIGHEST
-    (3-pass exact f32) blew the compile budget on the chunked kernel.
-    The ~2^-9 coefficient quantization is invisible at render noise
-    levels — the f32 tail (reciprocal, compares) is what preserves the
-    hit ordering.'''
-    fc = t5c.shape[0] // 5
-    g = jnp.dot(t5c, q, preferred_element_type=jnp.float32)
-    return (g[0:fc], g[fc:2 * fc], g[2 * fc:3 * fc], g[3 * fc:4 * fc],
-            g[4 * fc:5 * fc])
-
-
-def _i32(x):
-    return jax.lax.bitcast_convert_type(x, jnp.int32)
-
-
-def _chunk_valid(U, V, W, B, An, base, avoid):
-    '''Division-free validity in 11 ops/pair (vs 14 for the compare-
-    per-term form; the tail runs at VPU speed of light so each op is
-    measurable):
-      u,v,w >= 0  <=>  U,V,W sign-match B  <=>  (U^B)|(V^B)|(W^B) >= 0
-                       (sign-BIT tests; bitcasts are free views)
-      t > 0       <=>  An and B same sign and both nonzero
-                  <=>  An * B > 0   (one mul + one compare, and it
-                       subsumes every degenerate case: B == 0 parallel
-                       rays, all-zero padding faces, An == 0 origins on
-                       the plane — IEEE gives the product +/-0 or a
-                       sign-correct value; denormal underflow to 0 only
-                       drops hits with t far beyond the INF clamp)
-    Valid lanes therefore have An * r strictly positive and never NaN
-    (B != 0 guaranteed; denormal B gives +inf, clamped by the caller).
-    Exact-edge hits whose numerator computes to -0.0 are rejected where
-    the >=-form accepted them — a measure-zero semantics difference.
-    Returns (valid, fids).'''
-    bi = _i32(B)
-    fids = base + jax.lax.broadcasted_iota(jnp.int32, B.shape, 0)
-    side = (_i32(U) ^ bi) | (_i32(V) ^ bi) | (_i32(W) ^ bi)
-    valid = (side >= 0) & (An * B > 0.0) & (fids != avoid)
-    return valid, fids
-
-
-def _cast_closest_k(t5, attrs, q, avoid, interp=False):
-    '''Closest hit + interpolated attributes for one ray tile, walking
-    the face table in FACE_CHUNK chunks with a running packed-key
-    minimum.  t5: [5F, 14] chunk-major (see _pack_tri5); attrs [3C, F];
-    q [14, NR].  Returns (t [1,NR], index [1,NR] i32 (-1 = miss),
-    attrs [C, NR]).
-
-    The winner's t is NOT extracted by a one-hot sum: the packed key IS
-    t's bit pattern above the fid bits, so masking and bitcasting the
-    reduced key back to f32 recovers t at 2^-12 relative — per-RAY ops
-    instead of per-(face, ray) ops (the tail runs at VPU speed of
-    light, ~1.7e12 f32 ops/s measured, so every per-pair op is ~0.03
-    ms/sample at 512x512x5 bounces on the 34-face cornell).'''
-    f = attrs.shape[-1]
-    nc = -(-f // FACE_CHUNK)
-    nr = q.shape[1]
-    c = attrs.shape[0] // 3
-
-    key_miss = _KEY_INF | KEY_FID_MASK
-    best_key = jnp.full((1, nr), key_miss, jnp.int32)
-    best_u = jnp.zeros((1, nr))
-    best_v = jnp.zeros((1, nr))
-    best_att = jnp.zeros((c, nr))
-    for ci in range(nc):
-        fc = min(FACE_CHUNK, f - ci * FACE_CHUNK)
-        t5c = t5[5 * ci * FACE_CHUNK:5 * ci * FACE_CHUNK + 5 * fc]
-        attc = attrs[:, ci * FACE_CHUNK:ci * FACE_CHUNK + fc]
-        U, V, W, B, An = _uvwta(t5c, q)
-        valid, fids = _chunk_valid(U, V, W, B, An, ci * FACE_CHUNK, avoid)
-        r = _recip(B, interp, approx=True)
-        # valid sign structure guarantees An * r >= 0; B ~ 0 gives
-        # inf/huge t, clamped to the INF sentinel so it cannot win
-        ts = jnp.minimum(An * r, INF)
-        # barycentrics with a CLAMPED reciprocal: r = inf (B == 0)
-        # would make uel nan-poison the one-hot sums; huge-but-finite
-        # values are annihilated by the zero one-hot instead
-        rc = jnp.minimum(r, 1e18)
-        uel = U * rc
-        vel = V * rc
-        key = jnp.where(
-            valid,
-            (_i32(ts) & ~jnp.int32(KEY_FID_MASK)) | fids,
-            key_miss)
-        km = jnp.min(key, axis=0, keepdims=True)          # [1, NR]
-        ff = (key == km).astype(jnp.float32)              # local winner
-        uw = jnp.sum(uel * ff, axis=0, keepdims=True)
-        vw = jnp.sum(vel * ff, axis=0, keepdims=True)
-        corners = jnp.dot(attc, ff, preferred_element_type=jnp.float32)
-        att = (corners[0 * c:1 * c] * (1.0 - uw - vw)
-               + corners[1 * c:2 * c] * uw + corners[2 * c:3 * c] * vw)
-        if nc == 1:
-            best_key, best_u, best_v, best_att = km, uw, vw, att
-        else:
-            better = km < best_key
-            best_key = jnp.where(better, km, best_key)
-            best_u = jnp.where(better, uw, best_u)
-            best_v = jnp.where(better, vw, best_v)
-            best_att = jnp.where(better, att, best_att)
-    # winner t from the key's own bits (masked low bits only make it
-    # ~2^-12 smaller); the miss sentinel decodes to a t >= INF
-    best_t = jax.lax.bitcast_convert_type(
-        best_key & ~jnp.int32(KEY_FID_MASK), jnp.float32)
-    hitm = best_key != key_miss
-    best_t = jnp.where(hitm, best_t, INF)
-    idx = jnp.where(hitm, best_key & KEY_FID_MASK, -1)
-    best_att = jnp.where(hitm, best_att, 0.0)
-    return best_t, idx, best_att
-
-
-def _cast_mint_k(t5, q, avoid, interp=False):
-    '''Nearest valid t per ray, [1, NR] f32 (INF = no hit), chunked like
-    _cast_closest_k.  The batched shadow test: comparing this against
-    the light distance OUTSIDE the cast (in ray-tile layout) spares the
-    [RG, TR] -> lane-major relayout a tmax input would force.'''
-    f5 = t5.shape[0]
-    f = f5 // 5
-    nc = -(-f // FACE_CHUNK)
-    nr = q.shape[1]
-    best = jnp.full((1, nr), INF)
-    for ci in range(nc):
-        fc = min(FACE_CHUNK, f - ci * FACE_CHUNK)
-        t5c = t5[5 * ci * FACE_CHUNK:5 * ci * FACE_CHUNK + 5 * fc]
-        U, V, W, B, An = _uvwta(t5c, q)
-        valid, _ = _chunk_valid(U, V, W, B, An, ci * FACE_CHUNK, avoid)
-        r = _recip(B, interp, approx=True)
-        ts = jnp.where(valid, An * r, INF)
-        best = jnp.minimum(best, jnp.min(ts, axis=0, keepdims=True))
-    return best
+# in-kernel geometry: the shared Plücker cast core (intersect/plucker.py)
+# — one [5FC, 14] @ [14, NR] matmul per face chunk plus a division-free
+# packed-key tail.  See that module for the math and the op-count
+# budget; this kernel contributes only the tile layout around it.
 
 
 # ---------------------------------------------------------------------------
@@ -438,7 +261,11 @@ def _tile_cast_closest(t5, attrs, ro, rd, avoid_lanes, ones1, zeros1,
     i32, index_lanes [1, RG*TR] i32, attrs 6 x [RG, TR]).'''
     tr = ro.x.shape[1]
     q = _tile_q(ro, rd, ones1, zeros1)
-    tmin, idx, out = _cast_closest_k(t5, attrs, q, avoid_lanes, interp)
+    key, _, _, out = cast_closest_chunks(t5, attrs, q, avoid_lanes, interp)
+    hitm = key != KEY_MISS
+    tmin = jnp.where(hitm, key_decode_t(key), INF)
+    idx = jnp.where(hitm, key & KEY_FID_MASK, -1)
+    out = jnp.where(hitm, out, 0.0)
     t = _lanes_to_rows(tmin, tr)[0]
     index = _lanes_to_rows(idx, tr)[0]
     a6 = _lanes_to_rows(out, tr)
@@ -450,7 +277,7 @@ def _tile_cast_mint(t5, ro, rd, avoid_lanes, ones1, zeros1, interp):
     (INF = clear).  Shadow test: occluded iff result < light distance.'''
     tr = ro.x.shape[1]
     q = _tile_q(ro, rd, ones1, zeros1)
-    tmin = _cast_mint_k(t5, q, avoid_lanes, interp)
+    tmin = cast_mint_chunks(t5, q, avoid_lanes, interp)
     return _lanes_to_rows(tmin, tr)[0]
 
 
@@ -566,40 +393,6 @@ def _pack_materials(mats):
     return jnp.concatenate([f[:, 0, 0:3].T, f[:, 1:12, 0].T], axis=0)
 
 
-_IJ = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
-
-
-def _pack_tri5(tri_w2b):
-    '''[5F, 14] Plücker cast matrix from the [F, 3, 4] functionals:
-    F rows each of U-, V-, W-, b0- and a0-coefficients against the ray
-    feature vector of _group_q (see _uvwta).  CHUNK-MAJOR row order:
-    [U V W B A] row groups repeat per FACE_CHUNK of faces so the
-    kernel's chunk loop slices contiguous [5*fc, 14] blocks.'''
-    m0, m1, m2 = tri_w2b[:, 0], tri_w2b[:, 1], tri_w2b[:, 2]  # [F, 4]
-
-    def anti(ma, mb):
-        # C_ij = ma_i mb_j - mb_i ma_j for i<j (antisymmetric part)
-        return jnp.stack([ma[:, i] * mb[:, j] - mb[:, i] * ma[:, j]
-                          for i, j in _IJ], axis=1)  # [F, 6]
-
-    cu = anti(m1, m0)   # U = a1 b0 - a0 b1
-    cv = anti(m2, m0)   # V = a2 b0 - a0 b2
-    z4 = jnp.zeros_like(m0)
-    z6 = jnp.zeros_like(cu)
-    r_u = jnp.concatenate([cu, z4, z4], axis=1)
-    r_v = jnp.concatenate([cv, z4, z4], axis=1)
-    r_w = jnp.concatenate([-(cu + cv), m0, z4], axis=1)  # W = b0 - U - V
-    r_b = jnp.concatenate([z6, m0, z4], axis=1)          # b0 = m0 . d4
-    r_a = jnp.concatenate([z6, z4, -m0], axis=1)         # An = -m0 . o4
-    # (the a0 row is NEGATED at pack time: t = -a0/b0 = An * (1/b0), so
-    # the kernel never spends a per-pair negate, and t > 0 becomes the
-    # same-sign test An * B > 0 — see _chunk_valid)
-    f = m0.shape[0]
-    rows = []
-    for ci in range(0, f, FACE_CHUNK):
-        e = min(ci + FACE_CHUNK, f)
-        rows += [r_u[ci:e], r_v[ci:e], r_w[ci:e], r_b[ci:e], r_a[ci:e]]
-    return jnp.concatenate(rows, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
@@ -629,7 +422,7 @@ def fused_trace(scene, ro, rd, uniforms, interpret=False):
     u = u.reshape(dims, nb, RG, tr).transpose(1, 0, 2, 3) \
          .reshape(nb * dims * RG, tr)
 
-    t5 = _pack_tri5(scene.tri_w2b)
+    t5 = pack_plucker(scene.tri_w2b)
     attrs = scene.tri_attrs
     fac = _pack_materials(scene.materials)
     lt = _pack_lights(scene.lights)

@@ -18,15 +18,15 @@ intersect/pallas_cast.py but adds a broad phase over face BLOCKS:
     prefetch index map, so skipped blocks cost neither HBM traffic nor
     MXU work (past-the-count slots repeat the last candidate, which the
     pipeline recognizes as an already-resident block and elides).  Each
-    visited block runs the same fused matmul -> t/u/v -> masked-min ->
-    winner-attributes tile as the dense kernel, accumulated into a
-    running per-ray minimum across candidate steps.
+    visited block runs the shared Plücker cast core
+    (intersect/plucker.py: chunked matmul + division-free packed-key
+    tail), accumulated into a running per-ray minimum across steps.
 
 Correctness does not depend on the culling quality: the candidate test
 is conservative (superset), and a degenerate block simply wastes one
-step.  Hit semantics match intersect/brute.py exactly (same _plane_uv /
-_valid helpers; reference Face.intersect + nearest-hit loop,
-ptina/geometries.py:117-148, lbvh.py:313-347).
+step.  Hit semantics match intersect/brute.py (reference
+Face.intersect + nearest-hit loop, ptina/geometries.py:117-148,
+lbvh.py:313-347) with the core's ordering-grade t (2^-12).
 '''
 
 import functools
@@ -38,27 +38,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ptina_tpu.utils.mathutils import INF
 from ptina_tpu.intersect.brute import Hit
-from ptina_tpu.intersect.pallas_cast import _plane_uv, _valid, _prep
+from ptina_tpu.intersect.pallas_cast import _prep
+from ptina_tpu.intersect.plucker import (
+    pack_plucker, ray_features, cast_closest_chunks, cast_mint_chunks,
+    key_decode_t, KEY_FID_MASK)
 
 __all__ = ['blocked_cast_closest', 'blocked_cast_shade',
            'blocked_cast_any', 'blocked_tables', 'BLOCKED_TR']
 
 BLOCKED_TR = 512   # rays per tile (lane axis)
-_BIG = 2 ** 30
 
 
 def blocked_tables(tri_w2b, tri_attrs, block_faces):
     '''Re-pack the flat triangle tables into per-block form:
-    (m0, m1, m2) [nb, B, 4] functional rows and attrs [nb, 3C, B].
+    t5 [nb, 5B, 14] chunk-major Plücker coefficient blocks
+    (intersect/plucker.pack_plucker per block) and attrs [nb, 3C, B].
     tri_w2b must be padded to a block_faces multiple (make_scene pads
     big scenes this way).'''
     f = tri_w2b.shape[0]
     assert f % block_faces == 0, 'pad faces to a BLOCK_FACES multiple'
+    assert block_faces <= KEY_FID_MASK + 1  # block-local fid fits the key
     nb = f // block_faces
-    m = tri_w2b.reshape(nb, block_faces, 3, 4)
+    t5 = pack_plucker(tri_w2b)  # chunk-major; block_faces % chunk == 0
+    t5b = t5.reshape(nb, 5 * block_faces, 14)
     c3 = tri_attrs.shape[0]
     attrs = tri_attrs.reshape(c3, nb, block_faces).transpose(1, 0, 2)
-    return m[:, :, 0, :], m[:, :, 1, :], m[:, :, 2, :], attrs
+    return t5b, attrs
 
 
 def _tile_ray_bounds(o4, d4, tr):
@@ -94,9 +99,10 @@ def _candidate_blocks(block_bounds, olo, ohi, dlo, dhi):
     return cand, cnt
 
 
-def _blocked_shade_kernel(cand_ref, cnt_ref, o4_ref, d4_ref, avoid_ref,
-                          m0_ref, m1_ref, m2_ref, attr_ref,
-                          t_ref, idx_ref, u_ref, v_ref, out_ref):
+def _blocked_shade_kernel(cand_ref, cnt_ref, q_ref, avoid_ref,
+                          t5_ref, attr_ref,
+                          t_ref, idx_ref, u_ref, v_ref, out_ref,
+                          interp=False):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -110,35 +116,28 @@ def _blocked_shade_kernel(cand_ref, cnt_ref, o4_ref, d4_ref, avoid_ref,
 
     @pl.when(j < cnt_ref[i])
     def _visit():
-        b = m0_ref.shape[1]
+        b = attr_ref.shape[2]
         base = cand_ref[i, j] * b
-        t, u, v, live = _plane_uv(m0_ref[0], m1_ref[0], m2_ref[0],
-                                  o4_ref[:], d4_ref[:])
-        fids = base + jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-        valid = _valid(t, u, v, live, avoid_ref[:], fids)
-        tm = jnp.where(valid, t, INF)
-        tmin = jnp.min(tm, axis=0, keepdims=True)          # [1, TR]
-        eq = (tm == tmin) & valid
-        widx = jnp.min(jnp.where(eq, fids, _BIG), axis=0, keepdims=True)
-        first = eq & (fids == widx)
-        ff = first.astype(jnp.float32)
-        uw = jnp.sum(u * ff, axis=0, keepdims=True)
-        vw = jnp.sum(v * ff, axis=0, keepdims=True)
-        corners = jnp.dot(attr_ref[0], ff,
-                          preferred_element_type=jnp.float32)  # [3C, TR]
-        c = corners.shape[0] // 3
-        att = (corners[0 * c:1 * c] * (1.0 - uw - vw)
-               + corners[1 * c:2 * c] * uw + corners[2 * c:3 * c] * vw)
-        better = tmin < t_ref[:]
-        t_ref[:] = jnp.where(better, tmin, t_ref[:])
-        idx_ref[:] = jnp.where(better, widx, idx_ref[:])
+        # global `avoid` localized to this block ONCE per ray; the
+        # shared core then works entirely in block-local face ids
+        key, uw, vw, att = cast_closest_chunks(
+            t5_ref[0], attr_ref[0], q_ref[:], avoid_ref[:] - base, interp)
+        tm = key_decode_t(key)  # miss decodes to NaN: better = False
+        # strict < keeps the EARLIEST visited block on cross-block t
+        # ties; candidates are ascending block ids, and within a block
+        # the key already broke ties toward the lowest fid — together
+        # the reference's lowest-face-id-wins rule
+        better = tm < t_ref[:]
+        t_ref[:] = jnp.where(better, tm, t_ref[:])
+        idx_ref[:] = jnp.where(better, base + (key & KEY_FID_MASK),
+                               idx_ref[:])
         u_ref[:] = jnp.where(better, uw, u_ref[:])
         v_ref[:] = jnp.where(better, vw, v_ref[:])
         out_ref[:] = jnp.where(better, att, out_ref[:])
 
 
-def _blocked_mint_kernel(cand_ref, cnt_ref, o4_ref, d4_ref, avoid_ref,
-                         m0_ref, m1_ref, m2_ref, t_ref):
+def _blocked_mint_kernel(cand_ref, cnt_ref, q_ref, avoid_ref,
+                         t5_ref, t_ref, interp=False):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -148,25 +147,24 @@ def _blocked_mint_kernel(cand_ref, cnt_ref, o4_ref, d4_ref, avoid_ref,
 
     @pl.when(j < cnt_ref[i])
     def _visit():
-        b = m0_ref.shape[1]
+        b = t5_ref.shape[1] // 5
         base = cand_ref[i, j] * b
-        t, u, v, live = _plane_uv(m0_ref[0], m1_ref[0], m2_ref[0],
-                                  o4_ref[:], d4_ref[:])
-        fids = base + jax.lax.broadcasted_iota(jnp.int32, t.shape, 0)
-        valid = _valid(t, u, v, live, avoid_ref[:], fids)
-        tm = jnp.min(jnp.where(valid, t, INF), axis=0, keepdims=True)
+        tm = cast_mint_chunks(t5_ref[0], q_ref[:],
+                              avoid_ref[:] - base, interp)
         t_ref[:] = jnp.minimum(t_ref[:], tm)
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
-def blocked_cast_shade(ro, rd, m0b, m1b, m2b, attrsb, block_bounds, avoid,
+def blocked_cast_shade(ro, rd, t5b, attrsb, block_bounds, avoid,
                        interpret=False):
     '''Closest hit + interpolated attributes through the two-level cast.
-    m*b/attrsb from blocked_tables.  Returns (Hit, attrs [C, N]).'''
-    nb, b, _ = m0b.shape
+    t5b/attrsb from blocked_tables.  Returns (Hit, attrs [C, N]).'''
+    nb, b5, _ = t5b.shape
     c3 = attrsb.shape[1]
+    b = b5 // 5
     tr = BLOCKED_TR
     o4t, d4t, avoid2, n, ntotal = _prep(ro, rd, avoid, tr)
+    q = ray_features(o4t, d4t)
     nt = ntotal // tr
     olo, ohi, dlo, dhi = _tile_ray_bounds(o4t, d4t, tr)
     cand, cnt = _candidate_blocks(block_bounds, olo, ohi, dlo, dhi)
@@ -174,17 +172,11 @@ def blocked_cast_shade(ro, rd, m0b, m1b, m2b, attrsb, block_bounds, avoid,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2, grid=(nt, nb),
         in_specs=[
-            pl.BlockSpec((4, tr), lambda i, j, cand, cnt: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, tr), lambda i, j, cand, cnt: (0, i),
+            pl.BlockSpec((14, tr), lambda i, j, cand, cnt: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tr), lambda i, j, cand, cnt: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, 4), lambda i, j, cand, cnt: (cand[i, j], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, 4), lambda i, j, cand, cnt: (cand[i, j], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, 4), lambda i, j, cand, cnt: (cand[i, j], 0, 0),
+            pl.BlockSpec((1, b5, 14), lambda i, j, cand, cnt: (cand[i, j], 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c3, b), lambda i, j, cand, cnt: (cand[i, j], 0, 0),
                          memory_space=pltpu.VMEM),
@@ -203,7 +195,7 @@ def blocked_cast_shade(ro, rd, m0b, m1b, m2b, attrsb, block_bounds, avoid,
         ],
     )
     t, idx, u, v, attrs = pl.pallas_call(
-        _blocked_shade_kernel,
+        functools.partial(_blocked_shade_kernel, interp=interpret),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((1, ntotal), jnp.float32),
@@ -213,7 +205,7 @@ def blocked_cast_shade(ro, rd, m0b, m1b, m2b, attrsb, block_bounds, avoid,
             jax.ShapeDtypeStruct((c3 // 3, ntotal), jnp.float32),
         ],
         interpret=interpret,
-    )(cand, cnt, o4t, d4t, avoid2, m0b, m1b, m2b, attrsb)
+    )(cand, cnt, q, avoid2, t5b, attrsb)
     index = idx[0, :n]  # misses keep the -1 init: a _BIG winner means
     # tmin == INF, so `better` never lets it through
     hit = Hit(hit=index >= 0, t=t[0, :n], index=index,
@@ -222,22 +214,23 @@ def blocked_cast_shade(ro, rd, m0b, m1b, m2b, attrsb, block_bounds, avoid,
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
-def blocked_cast_closest(ro, rd, m0b, m1b, m2b, attrsb, block_bounds, avoid,
+def blocked_cast_closest(ro, rd, t5b, attrsb, block_bounds, avoid,
                          interpret=False):
     '''Hit-only view of blocked_cast_shade (same kernel pass).'''
-    hit, _ = blocked_cast_shade(ro, rd, m0b, m1b, m2b, attrsb, block_bounds,
+    hit, _ = blocked_cast_shade(ro, rd, t5b, attrsb, block_bounds,
                                 avoid, interpret=interpret)
     return hit
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
-def blocked_cast_any(ro, rd, m0b, m1b, m2b, block_bounds, avoid, tmax,
+def blocked_cast_any(ro, rd, t5b, block_bounds, avoid, tmax,
                      interpret=False):
     '''Occlusion cast: True where any face (except avoid) is hit at
     0 < t < tmax.'''
-    nb, b, _ = m0b.shape
+    nb, b5, _ = t5b.shape
     tr = BLOCKED_TR
     o4t, d4t, avoid2, n, ntotal = _prep(ro, rd, avoid, tr)
+    q = ray_features(o4t, d4t)
     nt = ntotal // tr
     olo, ohi, dlo, dhi = _tile_ray_bounds(o4t, d4t, tr)
     cand, cnt = _candidate_blocks(block_bounds, olo, ohi, dlo, dhi)
@@ -245,17 +238,11 @@ def blocked_cast_any(ro, rd, m0b, m1b, m2b, block_bounds, avoid, tmax,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2, grid=(nt, nb),
         in_specs=[
-            pl.BlockSpec((4, tr), lambda i, j, cand, cnt: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, tr), lambda i, j, cand, cnt: (0, i),
+            pl.BlockSpec((14, tr), lambda i, j, cand, cnt: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tr), lambda i, j, cand, cnt: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, 4), lambda i, j, cand, cnt: (cand[i, j], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, 4), lambda i, j, cand, cnt: (cand[i, j], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b, 4), lambda i, j, cand, cnt: (cand[i, j], 0, 0),
+            pl.BlockSpec((1, b5, 14), lambda i, j, cand, cnt: (cand[i, j], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -264,11 +251,11 @@ def blocked_cast_any(ro, rd, m0b, m1b, m2b, block_bounds, avoid, tmax,
         ],
     )
     t, = pl.pallas_call(
-        _blocked_mint_kernel,
+        functools.partial(_blocked_mint_kernel, interp=interpret),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((1, ntotal), jnp.float32)],
         interpret=interpret,
-    )(cand, cnt, o4t, d4t, avoid2, m0b, m1b, m2b)
+    )(cand, cnt, q, avoid2, t5b)
     npad = ntotal - n
     tmaxp = (jnp.pad(tmax, (0, npad)) if npad else tmax)
     return t[0, :n] < tmaxp[:n]

@@ -84,9 +84,9 @@ def cast_shadow(scene, ro, rd, avoid, tmax):
         from ptina_tpu.intersect.blocked import blocked_tables, \
             blocked_cast_any
         from ptina_tpu.scene import BLOCK_FACES
-        m0b, m1b, m2b, _ = blocked_tables(scene.tri_w2b, scene.tri_attrs,
-                                          BLOCK_FACES)
-        return blocked_cast_any(ro, rd, m0b, m1b, m2b, scene.block_bounds,
+        t5b, _ = blocked_tables(scene.tri_w2b, scene.tri_attrs,
+                                BLOCK_FACES)
+        return blocked_cast_any(ro, rd, t5b, scene.block_bounds,
                                 avoid, tmax, interpret=_blocked_interpret())
     return cast_any(ro, rd, scene.tri_w2b, avoid, tmax)
 
@@ -102,10 +102,10 @@ def cast_shaded(scene, ro, rd, avoid):
         from ptina_tpu.intersect.blocked import blocked_tables, \
             blocked_cast_shade
         from ptina_tpu.scene import BLOCK_FACES
-        m0b, m1b, m2b, attrsb = blocked_tables(
+        t5b, attrsb = blocked_tables(
             scene.tri_w2b, scene.tri_attrs, BLOCK_FACES)
         hit, attrs = blocked_cast_shade(
-            ro, rd, m0b, m1b, m2b, attrsb, scene.block_bounds, avoid,
+            ro, rd, t5b, attrsb, scene.block_bounds, avoid,
             interpret=_blocked_interpret())
         normal = vnormalize(V3(attrs[0], attrs[1], attrs[2]))
         mtlid = jnp.round(attrs[5]).astype(jnp.int32)

@@ -1,0 +1,278 @@
+'''
+Shared Plücker-form ray-cast core for every Pallas cast kernel
+(engine/fused.py megakernel, intersect/pallas_cast.py wavefront casts,
+intersect/blocked.py two-level narrow phase).
+
+The generic cast evaluates a = M [o,1], b = M [d,0] per functional row
+(reference Face.intersect semantics, ptina/geometries.py:117-148) and
+then pays a per-(face, ray) DIVISION for t plus two fmas for u, v.  But
+the barycentric numerators are BILINEAR in (o, d):
+
+    U = u*b0 = sum_{i<j} C_ij (o_i d_j - o_j d_i)
+
+with per-triangle antisymmetric coefficients C — a dot product of a
+per-triangle 14-vector against the ray's Plücker features.  One MXU
+matmul [5F, 14] @ [14, NR] therefore yields U, V, W = b0-U-V, B = b0
+and An = -a0 for every pair, and the VPU tail is division-free:
+
+    valid = sign(U)==sign(V)==sign(W)==sign(B)  and  An*B > 0
+    key   = (bits(min(An*recip(B), INF)) & ~FID_MASK) | face_id
+    hit   = min-reduce(key)      -- nearest t, lowest-fid tiebreak
+                                    (the reference's first-hit-wins
+                                    rule) in ONE reduction
+
+The tail runs at VPU speed of light (measured ~1.7e12 f32 ops/s on
+v5e), so its per-pair op count IS the cast's cost model: ~16 ops for a
+closest hit with barycentrics, ~12 for an occlusion test.  Division
+(~7 VPU ops) and the compare-per-term validity (14 ops) of the generic
+form are exactly what this module eliminates.
+'''
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from ptina_tpu.utils.mathutils import INF
+
+__all__ = [
+    'FACE_CHUNK', 'KEY_FID_MASK', 'KEY_MISS', 'pack_plucker',
+    'ray_features', 'chunk_uvwta', 'chunk_valid', 'key_mask_for',
+    'cast_closest_chunks', 'cast_mint_chunks', 'key_decode_t', 'recip',
+]
+
+FACE_CHUNK = 64  # faces per in-kernel cast chunk.  The chunk matmul
+# output [5*FC, NR] f32 materializes in full (an unchunked F=968 kernel
+# OOMed the 16 MB scoped VMEM default at 19.8 MB), so FC bounds it:
+# 5*64*4096*4B = 5.2 MB, leaving room for the tail temps.
+
+# packed comparison key: the i32 bit pattern of a POSITIVE f32 orders
+# like the float, so (t_bits & ~KEY_FID_MASK) | face_id min-reduces to
+# the nearest hit with ties broken toward the lowest face id in ONE
+# reduction.  11 id bits; t resolution loss is 2^-12 relative.
+KEY_FID_MASK = 2047
+# the miss sentinel is int32-max: it exceeds every valid key (whose t
+# bits are <= bits(INF)), and its masked bit pattern decodes to a NaN,
+# so key_decode_t(miss) FAILS every < comparison — downstream min/
+# better tests reject misses with zero extra ops.  (bits(INF) | mask
+# would NOT work: INF = 1e6 has low mantissa bits, so masking them off
+# decodes BELOW INF and a miss masquerades as a hit at t ~ 999936.)
+KEY_MISS = 2 ** 31 - 1
+
+
+def key_mask_for(nfaces):
+    '''Smallest all-ones fid mask covering `nfaces` ids (>= the default
+    11 bits; 8192-face tables use 13, trading t resolution 2^-12 ->
+    2^-10 — ordering-grade only, the occlusion casts keep full f32).'''
+    m = KEY_FID_MASK
+    while m + 1 < nfaces:
+        m = (m << 1) | 1
+    return m
+
+
+def recip(x, interp=False, approx=False):
+    '''Reciprocal: hardware approximation, plus one Newton step unless
+    approx=True (~2^-12 relative suffices for comparison-grade t and
+    shading barycentrics).  (Plain division under the Pallas
+    interpreter, where the TPU reciprocal primitive has no lowering.)'''
+    if interp:
+        return 1.0 / x
+    r = pl.reciprocal(x, approx=True)
+    if approx:
+        return r
+    return r * (2.0 - x * r)
+
+
+def _i32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+_IJ = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+
+
+def pack_plucker(tri_w2b, chunk=FACE_CHUNK):
+    '''[5F, 14] Plücker cast matrix from the [F, 3, 4] affine
+    functionals: F rows each of U-, V-, W-, B- and An-coefficients
+    against the ray feature vector of `ray_features`.  CHUNK-MAJOR row
+    order: [U V W B An] row groups repeat per `chunk` faces so a cast
+    loop slices contiguous [5*fc, 14] blocks (chunk=None: one group).
+
+    The a0 row is NEGATED at pack time: t = -a0/b0 = An * (1/b0), so
+    the kernel never spends a per-pair negate and t > 0 becomes the
+    same-sign test An * B > 0 (see chunk_valid).'''
+    m0, m1, m2 = tri_w2b[:, 0], tri_w2b[:, 1], tri_w2b[:, 2]  # [F, 4]
+
+    def anti(ma, mb):
+        # C_ij = ma_i mb_j - mb_i ma_j for i<j (antisymmetric part)
+        return jnp.stack([ma[:, i] * mb[:, j] - mb[:, i] * ma[:, j]
+                          for i, j in _IJ], axis=1)  # [F, 6]
+
+    cu = anti(m1, m0)   # U = a1 b0 - a0 b1
+    cv = anti(m2, m0)   # V = a2 b0 - a0 b2
+    z4 = jnp.zeros_like(m0)
+    z6 = jnp.zeros_like(cu)
+    r_u = jnp.concatenate([cu, z4, z4], axis=1)
+    r_v = jnp.concatenate([cv, z4, z4], axis=1)
+    r_w = jnp.concatenate([-(cu + cv), m0, z4], axis=1)  # W = b0 - U - V
+    r_b = jnp.concatenate([z6, m0, z4], axis=1)          # b0 = m0 . d4
+    r_a = jnp.concatenate([z6, z4, -m0], axis=1)         # An = -m0 . o4
+    f = m0.shape[0]
+    if chunk is None:
+        chunk = f
+    rows = []
+    for ci in range(0, max(f, 1), chunk):
+        e = min(ci + chunk, f)
+        rows += [r_u[ci:e], r_v[ci:e], r_w[ci:e], r_b[ci:e], r_a[ci:e]]
+    return jnp.concatenate(rows, axis=0)
+
+
+def ray_features(o4, d4):
+    '''Ray feature matrix [14, N] from homogeneous [4, N] origin /
+    direction rows: the 6 Plücker coordinates of the (o,1)/(d,0) pair
+    in (i<j) order — where p_i3 collapses to -d_i — then d, 0, o, 1.'''
+    ox, oy, oz, one = o4[0:1], o4[1:2], o4[2:3], o4[3:4]
+    dx, dy, dz, zero = d4[0:1], d4[1:2], d4[2:3], d4[3:4]
+    p01 = ox * dy - oy * dx
+    p02 = ox * dz - oz * dx
+    p12 = oy * dz - oz * dy
+    return jnp.concatenate([p01, p02, -dx, p12, -dy, -dz,
+                            dx, dy, dz, zero,
+                            ox, oy, oz, one], axis=0)
+
+
+def chunk_uvwta(t5c, q):
+    '''[5FC, 14] @ [14, NR] -> U, V, W, B(=b0), An(= -a0) as [FC, NR].
+
+    Matmul precision: jax's DEFAULT on TPU feeds the MXU single-pass
+    bf16-truncated inputs with f32 accumulation.  Measured: explicitly
+    casting the operands to bf16 produces BIT-IDENTICAL images at the
+    same speed (the truncation already happens), and Precision.HIGHEST
+    (3-pass exact f32) blew the compile budget on the chunked kernel.
+    The ~2^-9 coefficient quantization is invisible at render noise
+    levels — the f32 tail (reciprocal, compares) is what preserves the
+    hit ordering.'''
+    fc = t5c.shape[0] // 5
+    g = jnp.dot(t5c, q, preferred_element_type=jnp.float32)
+    return (g[0:fc], g[fc:2 * fc], g[2 * fc:3 * fc], g[3 * fc:4 * fc],
+            g[4 * fc:5 * fc])
+
+
+def chunk_valid(U, V, W, B, An, base, avoid):
+    '''Division-free validity in 11 ops/pair (vs 14 for the compare-
+    per-term form):
+      u,v,w >= 0  <=>  U,V,W sign-match B  <=>  (U^B)|(V^B)|(W^B) >= 0
+                       (sign-BIT tests; bitcasts are free views)
+      t > 0       <=>  An and B same sign and both nonzero
+                  <=>  An * B > 0   (one mul + one compare, and it
+                       subsumes every degenerate case: B == 0 parallel
+                       rays, all-zero padding faces, An == 0 origins on
+                       the plane — IEEE gives the product +/-0 or a
+                       sign-correct value; denormal underflow to 0 only
+                       drops hits with t far beyond the INF clamp)
+    Valid lanes therefore have An * r strictly positive and never NaN
+    (B != 0 guaranteed; denormal B gives +inf, clamped by the caller).
+    Exact-edge hits whose numerator computes to -0.0 are rejected where
+    the >=-form accepted them — a measure-zero semantics difference.
+    Returns (valid, fids).'''
+    bi = _i32(B)
+    fids = base + jax.lax.broadcasted_iota(jnp.int32, B.shape, 0)
+    side = (_i32(U) ^ bi) | (_i32(V) ^ bi) | (_i32(W) ^ bi)
+    valid = (side >= 0) & (An * B > 0.0) & (fids != avoid)
+    return valid, fids
+
+
+def key_decode_t(key, fid_mask=KEY_FID_MASK):
+    '''Winner t from the packed key's own bits (the masked fid bits only
+    make it ~2^-12 smaller); the KEY_MISS sentinel decodes to a NaN
+    pattern, so misses fail every ordered comparison downstream.'''
+    return jax.lax.bitcast_convert_type(
+        key & ~jnp.int32(fid_mask), jnp.float32)
+
+
+def cast_closest_chunks(t5, attrs, q, avoid, interp=False,
+                        fid_mask=KEY_FID_MASK):
+    '''Closest hit + barycentrics (+ optionally interpolated corner
+    attributes) for one ray tile, walking the face table in FACE_CHUNK
+    chunks with a running packed-key minimum.
+
+    t5: [5F, 14] chunk-major (pack_plucker); attrs [3C, F] corner-major
+    channels or None; q [14, NR]; avoid [*, NR] i32 face ids LOCAL to
+    this table (block-local callers subtract their base once per ray).
+    Returns (key [1, NR] i32 — decode with key_decode_t /
+    & fid_mask, == KEY_MISS on miss (decodes to NaN: every < test
+    rejects it for free) — u, v [1, NR], att [C, NR] or None).
+    fid_mask: key_mask_for(f) when the table exceeds the default
+    2048 ids.
+
+    The winner's t is NOT extracted by a one-hot sum: the packed key IS
+    t's bit pattern above the fid bits, so masking and bitcasting the
+    reduced key back to f32 recovers t at 2^-12 relative — per-RAY ops
+    instead of per-(face, ray) ops.'''
+    f = t5.shape[0] // 5
+    nc = -(-f // FACE_CHUNK)
+    nr = q.shape[1]
+
+    best_key = jnp.full((1, nr), KEY_MISS, jnp.int32)
+    best_u = jnp.zeros((1, nr))
+    best_v = jnp.zeros((1, nr))
+    best_att = (jnp.zeros((attrs.shape[0] // 3, nr))
+                if attrs is not None else None)
+    for ci in range(nc):
+        fc = min(FACE_CHUNK, f - ci * FACE_CHUNK)
+        t5c = t5[5 * ci * FACE_CHUNK:5 * ci * FACE_CHUNK + 5 * fc]
+        U, V, W, B, An = chunk_uvwta(t5c, q)
+        valid, fids = chunk_valid(U, V, W, B, An, ci * FACE_CHUNK, avoid)
+        r = recip(B, interp, approx=True)
+        # valid sign structure guarantees An * r >= 0; B ~ 0 gives
+        # inf/huge t, clamped to the INF sentinel so it cannot win
+        ts = jnp.minimum(An * r, INF)
+        # barycentrics with a CLAMPED reciprocal: r = inf (B == 0)
+        # would make uel nan-poison the one-hot sums; huge-but-finite
+        # values are annihilated by the zero one-hot instead
+        rc = jnp.minimum(r, 1e18)
+        uel = U * rc
+        vel = V * rc
+        key = jnp.where(
+            valid,
+            (_i32(ts) & ~jnp.int32(fid_mask)) | fids,
+            KEY_MISS)
+        km = jnp.min(key, axis=0, keepdims=True)          # [1, NR]
+        ff = (key == km).astype(jnp.float32)              # local winner
+        uw = jnp.sum(uel * ff, axis=0, keepdims=True)
+        vw = jnp.sum(vel * ff, axis=0, keepdims=True)
+        if attrs is not None:
+            attc = attrs[:, ci * FACE_CHUNK:ci * FACE_CHUNK + fc]
+            corners = jnp.dot(attc, ff, preferred_element_type=jnp.float32)
+            c = corners.shape[0] // 3
+            att = (corners[0 * c:1 * c] * (1.0 - uw - vw)
+                   + corners[1 * c:2 * c] * uw + corners[2 * c:3 * c] * vw)
+        if nc == 1:
+            best_key, best_u, best_v = km, uw, vw
+            if attrs is not None:
+                best_att = att
+        else:
+            better = km < best_key
+            best_key = jnp.where(better, km, best_key)
+            best_u = jnp.where(better, uw, best_u)
+            best_v = jnp.where(better, vw, best_v)
+            if attrs is not None:
+                best_att = jnp.where(better, att, best_att)
+    return best_key, best_u, best_v, best_att
+
+
+def cast_mint_chunks(t5, q, avoid, interp=False):
+    '''Nearest valid t per ray, [1, NR] f32 (INF = no hit), chunked like
+    cast_closest_chunks.  The batched occlusion test: compare against
+    the light distance wherever that value lives cheaply.'''
+    f = t5.shape[0] // 5
+    nc = -(-f // FACE_CHUNK)
+    nr = q.shape[1]
+    best = jnp.full((1, nr), INF)
+    for ci in range(nc):
+        fc = min(FACE_CHUNK, f - ci * FACE_CHUNK)
+        t5c = t5[5 * ci * FACE_CHUNK:5 * ci * FACE_CHUNK + 5 * fc]
+        U, V, W, B, An = chunk_uvwta(t5c, q)
+        valid, _ = chunk_valid(U, V, W, B, An, ci * FACE_CHUNK, avoid)
+        r = recip(B, interp, approx=True)
+        ts = jnp.where(valid, An * r, INF)
+        best = jnp.minimum(best, jnp.min(ts, axis=0, keepdims=True))
+    return best

@@ -92,3 +92,49 @@ def test_degenerate_padding_never_hits():
     rd = jnp.asarray([[0.0, 0.0, 1.0]])
     hit = cast_closest(ro, rd, m, jnp.asarray([-1], jnp.int32))
     assert int(hit.index[0]) == 0
+
+
+def test_pallas_wavefront_casts_match_brute():
+    '''The Plücker-core Pallas wavefront casts (interpret mode) agree
+    with the XLA brute oracle — hit flags, winner face, ordering-grade
+    t (2^-12 packed-key grid), barycentrics, occlusion.'''
+    import jax
+    from ptina_tpu.intersect import brute
+    from ptina_tpu.intersect.pallas_cast import (
+        pallas_cast_closest, pallas_cast_any, pallas_cast_shade)
+    from ptina_tpu.utils.vec import V3
+
+    rng = np.random.RandomState(7)
+    tris = rng.randn(37, 3, 3).astype(np.float32) * 2
+    m = precompute_tri_functionals(jnp.asarray(tris))
+    n = 160
+    ro_n = (rng.randn(n, 3) * 3).astype(np.float32)
+    rd_n = rng.randn(n, 3).astype(np.float32)
+    rd_n /= np.linalg.norm(rd_n, axis=1, keepdims=True)
+    ro = V3.from_array(jnp.asarray(ro_n))
+    rd = V3.from_array(jnp.asarray(rd_n))
+    avoid = jnp.full(n, -1, jnp.int32)
+
+    ref = brute.cast_closest(ro, rd, m, avoid)
+    hit = pallas_cast_closest(ro, rd, m, avoid, interpret=True)
+    np.testing.assert_array_equal(np.asarray(hit.hit), np.asarray(ref.hit))
+    np.testing.assert_array_equal(np.asarray(hit.index),
+                                  np.asarray(ref.index))
+    msk = np.asarray(ref.hit)
+    np.testing.assert_allclose(np.asarray(hit.t)[msk],
+                               np.asarray(ref.t)[msk], rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hit.u)[msk],
+                               np.asarray(ref.u)[msk], rtol=1e-3, atol=1e-4)
+
+    # shade variant: same winner + sane interpolated attrs shape
+    attrs_tbl = jnp.zeros((18, m.shape[0]), jnp.float32)
+    hit2, attrs = pallas_cast_shade(ro, rd, m, avoid, attrs_tbl,
+                                    interpret=True)
+    np.testing.assert_array_equal(np.asarray(hit2.index),
+                                  np.asarray(ref.index))
+    assert attrs.shape == (6, n)
+
+    tmax = jnp.full(n, 4.0)
+    occ_ref = brute.cast_any(ro, rd, m, avoid, tmax)
+    occ = pallas_cast_any(ro, rd, m, avoid, tmax, interpret=True)
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_ref))
