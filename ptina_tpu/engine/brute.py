@@ -49,7 +49,8 @@ def brute_trace(scene, ro, rd, uniforms):
         live = alive & ~miss
 
         outdir, pdf, color = disney_sample(material, normal, sign, -rd,
-                                           u[3], u[4], u[5])
+                                           u[3], u[4], u[5],
+                                           zero=scene.materials.zero)
         throughput = vwhere(live, throughput * color, throughput)
         ro = vwhere(live, hitpos, ro)
         rd = vwhere(live, outdir, rd)

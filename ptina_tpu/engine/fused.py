@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ptina_tpu.utils.mathutils import INF
 from ptina_tpu.intersect.plucker import (
-    FACE_CHUNK, KEY_FID_MASK, KEY_MISS, pack_plucker,
+    FACE_CHUNK, KEY_FID_MASK, KEY_MISS, pack_plucker, pack_extract,
     cast_closest_chunks, cast_mint_chunks, key_decode_t)
 from ptina_tpu.utils.vec import V3, vdot, vdot_or_zero, vnormalize, vwhere, vavg3
 from ptina_tpu.engine.path import MAX_DEPTH, power_heuristic
@@ -261,7 +261,8 @@ def _tile_cast_closest(t5, attrs, ro, rd, avoid_lanes, ones1, zeros1,
     i32, index_lanes [1, RG*TR] i32, attrs 6 x [RG, TR]).'''
     tr = ro.x.shape[1]
     q = _tile_q(ro, rd, ones1, zeros1)
-    key, _, _, out = cast_closest_chunks(t5, attrs, q, avoid_lanes, interp)
+    key, _, _, out = cast_closest_chunks(t5, attrs, q, avoid_lanes, interp,
+                                         n_attr=6)
     hitm = key != KEY_MISS
     tmin = jnp.where(hitm, key_decode_t(key), INF)
     idx = jnp.where(hitm, key & KEY_FID_MASK, -1)
@@ -283,7 +284,7 @@ def _tile_cast_mint(t5, ro, rd, avoid_lanes, ones1, zeros1, interp):
 
 def _path_kernel(rays_ref, u_ref, m_all_ref, attr_ref, fac_ref,
                  lt_ref, cnt_ref, wf_ref, r_ref, g_ref, b_ref,
-                 interp=False):
+                 interp=False, zero=()):
     tr = rays_ref.shape[1]
     rr = rays_ref[:].reshape(6, RG, tr)
     ro = V3(rr[0], rr[1], rr[2])
@@ -346,7 +347,8 @@ def _path_kernel(rays_ref, u_ref, m_all_ref, attr_ref, fac_ref,
             lt, count, hitpos, u[0], u[1], u[2])
         occ = _tile_cast_mint(t5, hitpos, li_dir, idx_lanes,
                               ones1, zeros1, interp) < li_dis
-        brdf_clr = disney_eval(material, normal, sign, -1.0 * rd, li_dir)
+        brdf_clr = disney_eval(material, normal, sign, -1.0 * rd, li_dir,
+                               zero)
         brdf_pdf = vavg3(brdf_clr)
         mis2 = power_heuristic(li_pdf, brdf_pdf)
         nee = li_color * brdf_clr * (mis2 * vdot_or_zero(normal, li_dir))
@@ -360,7 +362,8 @@ def _path_kernel(rays_ref, u_ref, m_all_ref, attr_ref, fac_ref,
         if b == depth - 1:
             break
         outdir, pdf, color = disney_sample(material, normal, sign,
-                                           -1.0 * rd, u[3], u[4], u[5])
+                                           -1.0 * rd, u[3], u[4], u[5],
+                                           zero)
         throughput = vwhere(live, throughput * color, throughput)
         ro = vwhere(live, hitpos, ro)
         rd = vwhere(live, outdir, rd)
@@ -423,7 +426,7 @@ def fused_trace(scene, ro, rd, uniforms, interpret=False):
          .reshape(nb * dims * RG, tr)
 
     t5 = pack_plucker(scene.tri_w2b)
-    attrs = scene.tri_attrs
+    attrs = pack_extract(scene.tri_w2b, scene.tri_attrs)
     fac = _pack_materials(scene.materials)
     lt = _pack_lights(scene.lights)
     cnt = scene.lights.count.reshape(1, 1)
@@ -437,7 +440,8 @@ def fused_trace(scene, ro, rd, uniforms, interpret=False):
                                     memory_space=pltpu.VMEM)
     out_sh = jax.ShapeDtypeStruct((nb * RG, tr), jnp.float32)
     rx, gx, bx = pl.pallas_call(
-        functools.partial(_path_kernel, interp=interpret),
+        functools.partial(_path_kernel, interp=interpret,
+                          zero=scene.materials.zero),
         grid=(nb,),
         in_specs=[blk(6 * RG), blk(dims * RG),
                   full((5 * f, 14)), full(attrs.shape), full(fac.shape),

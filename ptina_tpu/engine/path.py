@@ -101,7 +101,8 @@ def _bounce(scene, carry, u, model='disney'):
     # next-event estimation (path.py:48-56)
     li = lights_sample(scene.lights, hitpos, u[0], u[1], u[2])
     occ = cast_shadow(scene, hitpos, li['dir'], hit.index, li['dis'])
-    brdf_clr = bsdf_eval(model, material, normal, sign, -rd, li['dir'])
+    brdf_clr = bsdf_eval(model, material, normal, sign, -rd, li['dir'],
+                         zero=scene.materials.zero)
     brdf_pdf = vavg3(brdf_clr)
     mis2 = power_heuristic(li['pdf'], brdf_pdf)
     nee = li['color'] * brdf_clr * (mis2 * vdot_or_zero(normal, li['dir']))
@@ -111,7 +112,8 @@ def _bounce(scene, carry, u, model='disney'):
 
     # BSDF bounce (path.py:58-62)
     outdir, pdf, color = bsdf_sample(model, material, normal, sign, -rd,
-                                     u[3], u[4], u[5])
+                                     u[3], u[4], u[5],
+                                     zero=scene.materials.zero)
     throughput = vwhere(live, throughput * color, throughput)
     ro = vwhere(live, hitpos, ro)
     rd = vwhere(live, outdir, rd)

@@ -40,8 +40,8 @@ from ptina_tpu.utils.mathutils import INF
 from ptina_tpu.intersect.brute import Hit
 from ptina_tpu.intersect.pallas_cast import _prep
 from ptina_tpu.intersect.plucker import (
-    pack_plucker, ray_features, cast_closest_chunks, cast_mint_chunks,
-    key_decode_t, KEY_FID_MASK)
+    pack_plucker, pack_extract, ray_features, cast_closest_chunks,
+    cast_mint_chunks, key_decode_t, KEY_FID_MASK, N_COEF)
 
 __all__ = ['blocked_cast_closest', 'blocked_cast_shade',
            'blocked_cast_any', 'blocked_tables', 'BLOCKED_TR']
@@ -61,9 +61,10 @@ def blocked_tables(tri_w2b, tri_attrs, block_faces):
     nb = f // block_faces
     t5 = pack_plucker(tri_w2b)  # chunk-major; block_faces % chunk == 0
     t5b = t5.reshape(nb, 5 * block_faces, 14)
-    c3 = tri_attrs.shape[0]
-    attrs = tri_attrs.reshape(c3, nb, block_faces).transpose(1, 0, 2)
-    return t5b, attrs
+    ext = pack_extract(tri_w2b, tri_attrs)  # [3C + 15, F]
+    c3e = ext.shape[0]
+    extb = ext.reshape(c3e, nb, block_faces).transpose(1, 0, 2)
+    return t5b, extb
 
 
 def _tile_ray_bounds(o4, d4, tr):
@@ -121,7 +122,8 @@ def _blocked_shade_kernel(cand_ref, cnt_ref, q_ref, avoid_ref,
         # global `avoid` localized to this block ONCE per ray; the
         # shared core then works entirely in block-local face ids
         key, uw, vw, att = cast_closest_chunks(
-            t5_ref[0], attr_ref[0], q_ref[:], avoid_ref[:] - base, interp)
+            t5_ref[0], attr_ref[0], q_ref[:], avoid_ref[:] - base, interp,
+            n_attr=(attr_ref.shape[1] - N_COEF) // 3)
         tm = key_decode_t(key)  # miss decodes to NaN: better = False
         # strict < keeps the EARLIEST visited block on cross-block t
         # ties; candidates are ascending block ids, and within a block
@@ -160,7 +162,7 @@ def blocked_cast_shade(ro, rd, t5b, attrsb, block_bounds, avoid,
     '''Closest hit + interpolated attributes through the two-level cast.
     t5b/attrsb from blocked_tables.  Returns (Hit, attrs [C, N]).'''
     nb, b5, _ = t5b.shape
-    c3 = attrsb.shape[1]
+    c3 = attrsb.shape[1] - N_COEF  # corner-attr rows (over the 15 coef rows)
     b = b5 // 5
     tr = BLOCKED_TR
     o4t, d4t, avoid2, n, ntotal = _prep(ro, rd, avoid, tr)
@@ -178,7 +180,8 @@ def blocked_cast_shade(ro, rd, t5b, attrsb, block_bounds, avoid,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b5, 14), lambda i, j, cand, cnt: (cand[i, j], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c3, b), lambda i, j, cand, cnt: (cand[i, j], 0, 0),
+            pl.BlockSpec((1, c3 + N_COEF, b),
+                         lambda i, j, cand, cnt: (cand[i, j], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

@@ -35,8 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ptina_tpu.utils.mathutils import INF
 from ptina_tpu.intersect.brute import Hit
 from ptina_tpu.intersect.plucker import (
-    pack_plucker, ray_features, cast_closest_chunks, cast_mint_chunks,
-    key_decode_t, key_mask_for, KEY_MISS)
+    pack_plucker, pack_extract, ray_features, cast_closest_chunks,
+    cast_mint_chunks, key_decode_t, key_mask_for, KEY_MISS, N_COEF)
 
 __all__ = ['pallas_cast_closest', 'pallas_cast_any', 'pallas_cast_shade',
            'MAX_VMEM_FACES']
@@ -48,9 +48,9 @@ TR = 512  # rays per grid step: the chunked casts bound the working set
 # face count (the pre-chunking kernels had to shrink TR with F).
 
 
-def _closest_kernel(q_ref, avoid_ref, t5_ref,
+def _closest_kernel(q_ref, avoid_ref, t5_ref, coef_ref,
                     t_ref, idx_ref, u_ref, v_ref, *, fid_mask, interp):
-    key, u, v, _ = cast_closest_chunks(t5_ref[:], None, q_ref[:],
+    key, u, v, _ = cast_closest_chunks(t5_ref[:], coef_ref[:], q_ref[:],
                                        avoid_ref[:], interp, fid_mask)
     hitm = key != KEY_MISS
     t_ref[:] = jnp.where(hitm, key_decode_t(key, fid_mask), INF)
@@ -64,14 +64,16 @@ def _any_kernel(q_ref, avoid_ref, tmax_ref, t5_ref, occ_ref, *, interp):
     occ_ref[:] = (mint < tmax_ref[:]).astype(jnp.int32)
 
 
-def _shade_kernel(q_ref, avoid_ref, t5_ref, attr_ref,
+def _shade_kernel(q_ref, avoid_ref, t5_ref, ext_ref,
                   t_ref, idx_ref, u_ref, v_ref, out_ref, *, fid_mask,
-                  interp):
+                  interp, n_attr):
     '''Closest hit + fused barycentric attribute interpolation.
-    attr_ref: [3*C, F] — C attribute channels per corner (normals, uvs,
-    mtlid).  out_ref: [C, TR] interpolated winner attributes.'''
-    key, u, v, att = cast_closest_chunks(t5_ref[:], attr_ref[:], q_ref[:],
-                                         avoid_ref[:], interp, fid_mask)
+    ext_ref: [3*C + 15, F] extraction table (pack_extract) — C attribute
+    channels per corner (normals, uvs, mtlid) over the face coefficient
+    rows.  out_ref: [C, TR] interpolated winner attributes.'''
+    key, u, v, att = cast_closest_chunks(t5_ref[:], ext_ref[:], q_ref[:],
+                                         avoid_ref[:], interp, fid_mask,
+                                         n_attr=n_attr)
     hitm = key != KEY_MISS
     t_ref[:] = jnp.where(hitm, key_decode_t(key, fid_mask), INF)
     idx_ref[:] = jnp.where(hitm, key & fid_mask, -1)
@@ -124,12 +126,15 @@ def pallas_cast_closest(ro, rd, tri_w2b, avoid, interpret=False):
     o4t, d4t, avoid2, n, ntotal = _prep(ro, rd, avoid, TR)
     q = ray_features(o4t, d4t)
     t5 = pack_plucker(tri_w2b)
+    coef = pack_extract(tri_w2b)
     q_spec, lane_spec, t5_spec = _specs(TR, f)
+    coef_spec = pl.BlockSpec((N_COEF, f), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
     t, idx, u, v = pl.pallas_call(
         functools.partial(_closest_kernel, fid_mask=fid_mask,
                           interp=interpret),
         grid=(ntotal // TR,),
-        in_specs=[q_spec, lane_spec, t5_spec],
+        in_specs=[q_spec, lane_spec, t5_spec, coef_spec],
         out_specs=[lane_spec] * 4,
         out_shape=[
             jax.ShapeDtypeStruct((1, ntotal), jnp.float32),
@@ -139,7 +144,7 @@ def pallas_cast_closest(ro, rd, tri_w2b, avoid, interpret=False):
         ],
         interpret=interpret,
         **_params(interpret),
-    )(q, avoid2, t5)
+    )(q, avoid2, t5, coef)
     return Hit(hit=idx[0, :n] >= 0, t=t[0, :n], index=idx[0, :n],
                u=u[0, :n], v=v[0, :n])
 
@@ -179,14 +184,15 @@ def pallas_cast_shade(ro, rd, tri_w2b, avoid, corner_attrs,
     o4t, d4t, avoid2, n, ntotal = _prep(ro, rd, avoid, TR)
     q = ray_features(o4t, d4t)
     t5 = pack_plucker(tri_w2b)
+    ext = pack_extract(tri_w2b, corner_attrs)
     q_spec, lane_spec, t5_spec = _specs(TR, f)
-    attr_in_spec = pl.BlockSpec((c3, f), lambda i: (0, 0),
+    attr_in_spec = pl.BlockSpec((c3 + N_COEF, f), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
     attr_out_spec = pl.BlockSpec((c3 // 3, TR), lambda i: (0, i),
                                  memory_space=pltpu.VMEM)
     t, idx, u, v, attrs = pl.pallas_call(
         functools.partial(_shade_kernel, fid_mask=fid_mask,
-                          interp=interpret),
+                          interp=interpret, n_attr=c3 // 3),
         grid=(ntotal // TR,),
         in_specs=[q_spec, lane_spec, t5_spec, attr_in_spec],
         out_specs=[lane_spec] * 4 + [attr_out_spec],
@@ -199,7 +205,7 @@ def pallas_cast_shade(ro, rd, tri_w2b, avoid, corner_attrs,
         ],
         interpret=interpret,
         **_params(interpret),
-    )(q, avoid2, t5, corner_attrs)
+    )(q, avoid2, t5, ext)
     hit = Hit(hit=idx[0, :n] >= 0, t=t[0, :n], index=idx[0, :n],
               u=u[0, :n], v=v[0, :n])
     return hit, attrs[:, :n]

@@ -35,7 +35,8 @@ from jax.experimental import pallas as pl
 from ptina_tpu.utils.mathutils import INF
 
 __all__ = [
-    'FACE_CHUNK', 'KEY_FID_MASK', 'KEY_MISS', 'pack_plucker',
+    'FACE_CHUNK', 'KEY_FID_MASK', 'KEY_MISS', 'N_COEF',
+    'pack_plucker', 'pack_extract',
     'ray_features', 'chunk_uvwta', 'chunk_valid', 'key_mask_for',
     'cast_closest_chunks', 'cast_mint_chunks', 'key_decode_t', 'recip',
 ]
@@ -89,6 +90,32 @@ def _i32(x):
 _IJ = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
 
 
+def _anti(ma, mb):
+    # C_ij = ma_i mb_j - mb_i ma_j for i<j (antisymmetric part)
+    return jnp.stack([ma[:, i] * mb[:, j] - mb[:, i] * ma[:, j]
+                      for i, j in _IJ], axis=1)  # [F, 6]
+
+
+N_COEF = 15  # extraction rows appended by pack_extract: cu(6) cv(6) m0.xyz(3)
+
+
+def pack_extract(tri_w2b, attrs=None):
+    '''Winner-extraction table [3C + 15, F] (or [15, F] when attrs is
+    None): the caller's corner-major attribute channels stacked over 15
+    per-face coefficient rows — cu (6), cv (6), m0.xyz (3) — from which
+    cast_closest_chunks reconstructs the winner's EXACT barycentrics per
+    RAY:  U = cu . q[0:6],  V = cv . q[0:6],  B = m0.xyz . d,
+    u = U/B, v = V/B.  Delivering the coefficients through the same
+    one-hot MXU matmul as the attributes moves all u/v work off the
+    per-(face, ray) tail.'''
+    m0, m1, m2 = tri_w2b[:, 0], tri_w2b[:, 1], tri_w2b[:, 2]
+    coef = jnp.concatenate([_anti(m1, m0).T, _anti(m2, m0).T,
+                            m0[:, 0:3].T], axis=0)  # [15, F]
+    if attrs is None:
+        return coef
+    return jnp.concatenate([attrs, coef], axis=0)
+
+
 def pack_plucker(tri_w2b, chunk=FACE_CHUNK):
     '''[5F, 14] Plücker cast matrix from the [F, 3, 4] affine
     functionals: F rows each of U-, V-, W-, B- and An-coefficients
@@ -100,14 +127,8 @@ def pack_plucker(tri_w2b, chunk=FACE_CHUNK):
     the kernel never spends a per-pair negate and t > 0 becomes the
     same-sign test An * B > 0 (see chunk_valid).'''
     m0, m1, m2 = tri_w2b[:, 0], tri_w2b[:, 1], tri_w2b[:, 2]  # [F, 4]
-
-    def anti(ma, mb):
-        # C_ij = ma_i mb_j - mb_i ma_j for i<j (antisymmetric part)
-        return jnp.stack([ma[:, i] * mb[:, j] - mb[:, i] * ma[:, j]
-                          for i, j in _IJ], axis=1)  # [F, 6]
-
-    cu = anti(m1, m0)   # U = a1 b0 - a0 b1
-    cv = anti(m2, m0)   # V = a2 b0 - a0 b2
+    cu = _anti(m1, m0)   # U = a1 b0 - a0 b1
+    cv = _anti(m2, m0)   # V = a2 b0 - a0 b2
     z4 = jnp.zeros_like(m0)
     z6 = jnp.zeros_like(cu)
     r_u = jnp.concatenate([cu, z4, z4], axis=1)
@@ -188,34 +209,36 @@ def key_decode_t(key, fid_mask=KEY_FID_MASK):
         key & ~jnp.int32(fid_mask), jnp.float32)
 
 
-def cast_closest_chunks(t5, attrs, q, avoid, interp=False,
-                        fid_mask=KEY_FID_MASK):
-    '''Closest hit + barycentrics (+ optionally interpolated corner
-    attributes) for one ray tile, walking the face table in FACE_CHUNK
-    chunks with a running packed-key minimum.
+def cast_closest_chunks(t5, ext, q, avoid, interp=False,
+                        fid_mask=KEY_FID_MASK, n_attr=0):
+    '''Closest hit + exact barycentrics (+ optionally interpolated
+    corner attributes) for one ray tile.
 
-    t5: [5F, 14] chunk-major (pack_plucker); attrs [3C, F] corner-major
-    channels or None; q [14, NR]; avoid [*, NR] i32 face ids LOCAL to
+    Two passes over the face table in FACE_CHUNK chunks:
+      1. nearest-hit PACKED-KEY minimum — the only per-(face, ray) work
+         is validity + reciprocal + key + min (~18 ops/pair);
+      2. winner one-hot (fids == winner_fid: 2 ops/pair) driving ONE
+         accumulated MXU matmul against `ext` (pack_extract), which
+         delivers both the winner's corner attributes and its 15 face
+         coefficients; u, v and the barycentric attribute mix are then
+         reconstructed per RAY (~70 ops/ray, amortized over all faces).
+    The old single-pass form extracted u/v with per-chunk one-hot sums
+    (~7 ops/pair more) — at 968 faces that was ~5 ms/sample of pure
+    VPU tail on the 512x512 benchmark.
+
+    t5: [5F, 14] chunk-major (pack_plucker); ext [3*n_attr + 15, F]
+    (pack_extract); q [14, NR]; avoid [*, NR] i32 face ids LOCAL to
     this table (block-local callers subtract their base once per ray).
-    Returns (key [1, NR] i32 — decode with key_decode_t /
-    & fid_mask, == KEY_MISS on miss (decodes to NaN: every < test
-    rejects it for free) — u, v [1, NR], att [C, NR] or None).
-    fid_mask: key_mask_for(f) when the table exceeds the default
-    2048 ids.
-
-    The winner's t is NOT extracted by a one-hot sum: the packed key IS
-    t's bit pattern above the fid bits, so masking and bitcasting the
-    reduced key back to f32 recovers t at 2^-12 relative — per-RAY ops
-    instead of per-(face, ray) ops.'''
+    Returns (key [1, NR] i32 — decode with key_decode_t / & fid_mask,
+    == KEY_MISS on miss (decodes to NaN: every < test rejects it for
+    free) — u, v [1, NR], att [n_attr, NR] or None).  Miss lanes carry
+    garbage u/v/att; callers mask on the key.
+    fid_mask: key_mask_for(f) when the table exceeds 2048 ids.'''
     f = t5.shape[0] // 5
     nc = -(-f // FACE_CHUNK)
     nr = q.shape[1]
 
     best_key = jnp.full((1, nr), KEY_MISS, jnp.int32)
-    best_u = jnp.zeros((1, nr))
-    best_v = jnp.zeros((1, nr))
-    best_att = (jnp.zeros((attrs.shape[0] // 3, nr))
-                if attrs is not None else None)
     for ci in range(nc):
         fc = min(FACE_CHUNK, f - ci * FACE_CHUNK)
         t5c = t5[5 * ci * FACE_CHUNK:5 * ci * FACE_CHUNK + 5 * fc]
@@ -225,38 +248,39 @@ def cast_closest_chunks(t5, attrs, q, avoid, interp=False,
         # valid sign structure guarantees An * r >= 0; B ~ 0 gives
         # inf/huge t, clamped to the INF sentinel so it cannot win
         ts = jnp.minimum(An * r, INF)
-        # barycentrics with a CLAMPED reciprocal: r = inf (B == 0)
-        # would make uel nan-poison the one-hot sums; huge-but-finite
-        # values are annihilated by the zero one-hot instead
-        rc = jnp.minimum(r, 1e18)
-        uel = U * rc
-        vel = V * rc
         key = jnp.where(
             valid,
             (_i32(ts) & ~jnp.int32(fid_mask)) | fids,
             KEY_MISS)
         km = jnp.min(key, axis=0, keepdims=True)          # [1, NR]
-        ff = (key == km).astype(jnp.float32)              # local winner
-        uw = jnp.sum(uel * ff, axis=0, keepdims=True)
-        vw = jnp.sum(vel * ff, axis=0, keepdims=True)
-        if attrs is not None:
-            attc = attrs[:, ci * FACE_CHUNK:ci * FACE_CHUNK + fc]
-            corners = jnp.dot(attc, ff, preferred_element_type=jnp.float32)
-            c = corners.shape[0] // 3
-            att = (corners[0 * c:1 * c] * (1.0 - uw - vw)
-                   + corners[1 * c:2 * c] * uw + corners[2 * c:3 * c] * vw)
-        if nc == 1:
-            best_key, best_u, best_v = km, uw, vw
-            if attrs is not None:
-                best_att = att
-        else:
-            better = km < best_key
-            best_key = jnp.where(better, km, best_key)
-            best_u = jnp.where(better, uw, best_u)
-            best_v = jnp.where(better, vw, best_v)
-            if attrs is not None:
-                best_att = jnp.where(better, att, best_att)
-    return best_key, best_u, best_v, best_att
+        best_key = km if nc == 1 else jnp.minimum(best_key, km)
+
+    # pass 2: winner extraction (misses match fid == fid_mask, which is
+    # either no face or an arbitrary one — their lanes are masked by
+    # the caller, and the select below never propagates their values)
+    wfid = best_key & fid_mask
+    corners = None
+    for ci in range(nc):
+        fc = min(FACE_CHUNK, f - ci * FACE_CHUNK)
+        fids = ci * FACE_CHUNK + jax.lax.broadcasted_iota(
+            jnp.int32, (fc, nr), 0)
+        ffc = (fids == wfid).astype(jnp.float32)
+        extc = ext[:, ci * FACE_CHUNK:ci * FACE_CHUNK + fc]
+        dot = jnp.dot(extc, ffc, preferred_element_type=jnp.float32)
+        corners = dot if corners is None else corners + dot
+    coefw = corners[3 * n_attr:]
+    uw_num = sum(coefw[k:k + 1] * q[k:k + 1] for k in range(6))
+    vw_num = sum(coefw[6 + k:7 + k] * q[k:k + 1] for k in range(6))
+    bw = sum(coefw[12 + k:13 + k] * q[6 + k:7 + k] for k in range(3))
+    rb = jnp.minimum(recip(bw, interp, approx=True), 1e18)
+    u = uw_num * rb
+    v = vw_num * rb
+    att = None
+    if n_attr:
+        att = (corners[0:n_attr] * (1.0 - u - v)
+               + corners[n_attr:2 * n_attr] * u
+               + corners[2 * n_attr:3 * n_attr] * v)
+    return best_key, u, v, att
 
 
 def cast_mint_chunks(t5, q, avoid, interp=False):

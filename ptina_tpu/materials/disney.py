@@ -74,11 +74,17 @@ def _etas(p, sign):
     return etai, etao
 
 
-def disney_eval(p, normal, sign, indir, outdir):
+def disney_eval(p, normal, sign, indir, outdir, zero=()):
     '''BRDF value (reference brdf(), disney.py:52-106).
     p: derived param dict; normal/indir/outdir V3; sign [..].
+    zero: STATIC names of parameters identically 0 across the material
+    table (scene.Materials.zero) — their terms drop out of the trace
+    with bit-identical results (every skipped term is multiplied by the
+    zero parameter or gated by a never-taken choice_split).
     Returns V3.'''
-    etai, etao = _etas(p, sign)
+    no_trans = 'transmission' in zero
+    no_coat = 'clearcoat' in zero
+    no_metal = 'metallic' in zero
 
     halfdir = vnormalize(indir + outdir)
     cosi = vdot(indir, normal)
@@ -92,12 +98,6 @@ def disney_eval(p, normal, sign, indir, outdir):
     transmission = p['transmission']
 
     ds = gtr2(cosh, alpha)
-    fdf = dielectric_fresnel(etao, etai, cosoh)
-
-    # --- transmission side (coso < 0, disney.py:66-72) ---
-    transmit_b = basecolor * ((1.0 / PI) * (1.0 - fdf) * ds)
-    below = transmit_b * ((1.0 - metallic) * transmission)
-    below = vwhere(cosi >= 0.0, below, 0.0)
 
     # --- reflection side (disney.py:74-104) ---
     fi = schlick_fresnel(cosi)
@@ -105,38 +105,60 @@ def disney_eval(p, normal, sign, indir, outdir):
     fd90 = 0.5 + 2.0 * cosoh ** 2 * p['roughness']
     fd = lerp(fi, 1.0, fd90) * lerp(fo, 1.0, fd90)
 
-    fss90 = cosoh ** 2 * p['roughness']
-    fss = lerp(fi, 1.0, fss90) * lerp(fo, 1.0, fss90)
-    ss = 1.25 * (fss * (_sd(1.0, cosi + coso) - 0.5) + 0.5)
+    if 'subsurface' in zero:
+        diff_lobe = fd
+    else:
+        fss90 = cosoh ** 2 * p['roughness']
+        fss = lerp(fi, 1.0, fss90) * lerp(fo, 1.0, fss90)
+        ss = 1.25 * (fss * (_sd(1.0, cosi + coso) - 0.5) + 0.5)
+        diff_lobe = lerp(p['subsurface'], fd, ss)
 
     foh = schlick_fresnel(cosoh)
-    fsheen = p['sheencolor'] * (foh * p['sheen'])
+    diffuse = basecolor * ((1.0 / PI) * diff_lobe)
+    if 'sheen' not in zero:
+        diffuse = diffuse + p['sheencolor'] * (foh * p['sheen'])
 
     fs = vlerp(foh, p['speccolor'], 1.0)
     gs = smith_ggx(cosi, alpha) * smith_ggx(coso, alpha)
+    specular = fs * (gs * ds)
+    if not no_coat:
+        dr = gtr1(cosh, p['ccalpha'])
+        gr = smith_ggx(cosi, 0.25) * smith_ggx(coso, 0.25)
+        fr = lerp(foh, 0.04, 1.0)
+        specular = specular + (0.25 * p['clearcoat'] * gr * fr * dr)
 
-    dr = gtr1(cosh, p['ccalpha'])
-    gr = smith_ggx(cosi, 0.25) * smith_ggx(coso, 0.25)
-    fr = lerp(foh, 0.04, 1.0)
+    kd = 1.0 - metallic if not no_metal else 1.0
+    if no_trans:
+        above = diffuse * kd + specular
+        return vwhere(coso < 0.0, 0.0, above)
 
-    diffuse = basecolor * ((1.0 / PI) * lerp(p['subsurface'], fd, ss)) + fsheen
-    specular = fs * (gs * ds) + (0.25 * p['clearcoat'] * gr * fr * dr)
+    etai, etao = _etas(p, sign)
+    fdf = dielectric_fresnel(etao, etai, cosoh)
+
+    # --- transmission side (coso < 0, disney.py:66-72) ---
+    transmit_b = basecolor * ((1.0 / PI) * (1.0 - fdf) * ds)
+    below = transmit_b * (kd * transmission)
+    below = vwhere(cosi >= 0.0, below, 0.0)
+
     transmit = basecolor * ((1.0 / PI) * fdf * ds)
-
-    above = (diffuse * ((1.0 - metallic) * (1.0 - transmission))
-             + transmit * ((1.0 - metallic) * transmission)
+    above = (diffuse * (kd * (1.0 - transmission))
+             + transmit * (kd * transmission)
              + specular * (1.0 - transmission))
 
     return vwhere(coso < 0.0, below, above)
 
 
-def disney_sample(p, normal, sign, indir, su, sv, sw):
+def disney_sample(p, normal, sign, indir, su, sv, sw, zero=()):
     '''Importance-sample a bounce direction (reference bounce(),
     disney.py:114-233).  su/sv/sw: [..] uniforms (sw drives lobe choice).
+    zero: STATIC zero-across-the-table parameter names
+    (scene.Materials.zero) — never-taken lobes drop out of the trace
+    with identical results: choice_split(w, 0) is (False, w, 1).
     Returns (outdir V3, pdf [..], color V3); invalid samples have
     pdf == 0 and color == 0.'''
-    etai, etao = _etas(p, sign)
-    eta = etai / etao
+    no_trans = 'transmission' in zero
+    no_coat = 'clearcoat' in zero
+    no_metal = 'metallic' in zero
 
     basecolor = p['basecolor']
     metallic = p['metallic']
@@ -148,17 +170,27 @@ def disney_sample(p, normal, sign, indir, su, sv, sw):
     fs_color = vlerp(fi, p['speccolor'], 1.0)
 
     # --- stream-split lobe decisions (disney.py:128-136) ---
-    specrate = lerp(transmission, lerp(metallic, vavg3(fs_color), 1.0), 1.0)
+    spec_metal = (vavg3(fs_color) if no_metal
+                  else lerp(metallic, vavg3(fs_color), 1.0))
+    specrate = spec_metal if no_trans else lerp(transmission, spec_metal, 1.0)
     specrate = lerp(specrate, 0.1, 1.0)
-    coatrate_raw = 0.04 * p['clearcoat']
-    coatrate = jnp.where(coatrate_raw != 0.0,
-                         lerp(coatrate_raw, 0.1, 1.0), 0.0)
 
-    take_coat, w1, pdf_c = choice_split(sw, coatrate)
+    if no_coat:
+        take_coat, w1, pdf_c = None, sw, 1.0
+    else:
+        coatrate_raw = 0.04 * p['clearcoat']
+        coatrate = jnp.where(coatrate_raw != 0.0,
+                             lerp(coatrate_raw, 0.1, 1.0), 0.0)
+        take_coat, w1, pdf_c = choice_split(sw, coatrate)
     take_spec_r, w2, pdf_s = choice_split(w1, specrate)
-    take_spec = ~take_coat & take_spec_r
-    take_diff = ~take_coat & ~take_spec_r
-    take_trans_r, w3, pdf_t = choice_split(w2, transmission)
+    if no_coat:
+        take_spec = take_spec_r
+    else:
+        take_spec = ~take_coat & take_spec_r
+    if no_trans:
+        take_trans_r, w3, pdf_t = None, w2, 1.0
+    else:
+        take_trans_r, w3, pdf_t = choice_split(w2, transmission)
 
     # Tangent frame as separate vectors — elementwise frame application
     # fuses; an [..,3,3] matrix + einsum would materialize padded tiles.
@@ -168,19 +200,20 @@ def disney_sample(p, normal, sign, indir, su, sv, sw):
         return tan * local.x + bitan * local.y + normal * local.z
 
     # ---------------- clearcoat lobe (disney.py:136-157) ----------------
-    cc_alpha = p['ccalpha']
-    h_cc = to_world(sample_gtr1(su, sv, cc_alpha))
-    out_cc = vreflect(-indir, h_cc)
-    coso_cc = vdot(out_cc, normal)
-    cosh_cc = vdot_or_zero(h_cc, normal)
-    cosoh_cc = vdot_or_zero(h_cc, out_cc)
-    ok_cc = cosoh_cc > 0.0
-    dr = gtr1(cosh_cc, cc_alpha)
-    fr = lerp(schlick_fresnel(cosoh_cc), 0.04, 1.0)
-    partial_cc = p['clearcoat'] * fr * _sd(coso_cc, cosoh_cc)
-    pdf_cc = jnp.where(ok_cc, dr * partial_cc, 0.0)
-    col_cc_s = jnp.where(ok_cc, _sd(partial_cc, pdf_c), 0.0)
-    col_cc = V3(col_cc_s, col_cc_s, col_cc_s)
+    if not no_coat:
+        cc_alpha = p['ccalpha']
+        h_cc = to_world(sample_gtr1(su, sv, cc_alpha))
+        out_cc = vreflect(-indir, h_cc)
+        coso_cc = vdot(out_cc, normal)
+        cosh_cc = vdot_or_zero(h_cc, normal)
+        cosoh_cc = vdot_or_zero(h_cc, out_cc)
+        ok_cc = cosoh_cc > 0.0
+        dr = gtr1(cosh_cc, cc_alpha)
+        fr = lerp(schlick_fresnel(cosoh_cc), 0.04, 1.0)
+        partial_cc = p['clearcoat'] * fr * _sd(coso_cc, cosoh_cc)
+        pdf_cc = jnp.where(ok_cc, dr * partial_cc, 0.0)
+        col_cc_s = jnp.where(ok_cc, _sd(partial_cc, pdf_c), 0.0)
+        col_cc = V3(col_cc_s, col_cc_s, col_cc_s)
 
     # ---------------- specular lobe (disney.py:159-202) ----------------
     h_sp = to_world(sample_gtr2(su, sv, alpha))
@@ -191,22 +224,6 @@ def disney_sample(p, normal, sign, indir, su, sv, sw):
     ok_sp = (cosoh_sp > 0.0) & (coso_sp > 0.0) & (cosh_sp > 0.0)
     ds = gtr2(cosh_sp, alpha)
 
-    # transmission sub-branch (disney.py:172-188)
-    fdf = dielectric_fresnel(etao, etai, cosoh_sp)
-    reflrate = lerp(fdf, 0.2, 1.0)
-    take_refl_r, _w4, pdf_r = choice_split(w3, reflrate)
-    # reflected transmission ray
-    pdf_sp_trefl = ds * fdf
-    col_sp_trefl = basecolor * _sd(fdf * transmission,
-                                   pdf_c * pdf_s * pdf_t * pdf_r)
-    # refracted transmission ray
-    has_rf, out_rf = vrefract(-indir, h_sp, eta)
-    pdf_sp_trefr = jnp.where(has_rf, ds * (1.0 - fdf), 0.0)
-    col_sp_trefr = vwhere(
-        has_rf,
-        basecolor * _sd((1.0 - fdf) * transmission,
-                        pdf_c * pdf_s * pdf_t * pdf_r),
-        0.0)
     # non-transmission GGX reflection (disney.py:190-198)
     foh = schlick_fresnel(cosoh_sp)
     fs2 = vlerp(foh, p['speccolor'], 1.0)
@@ -215,14 +232,36 @@ def disney_sample(p, normal, sign, indir, su, sv, sw):
     col_sp_plain = fs2 * _sd(partial_sp * (1.0 - transmission),
                              pdf_c * pdf_s * pdf_t)
 
-    out_spec = vwhere(take_trans_r, vwhere(take_refl_r, out_sp, out_rf),
-                      out_sp)
-    pdf_spec = jnp.where(take_trans_r,
-                         jnp.where(take_refl_r, pdf_sp_trefl, pdf_sp_trefr),
-                         pdf_sp_plain)
-    col_spec = vwhere(take_trans_r, vwhere(take_refl_r, col_sp_trefl,
-                                           col_sp_trefr),
-                      col_sp_plain)
+    if no_trans:
+        out_spec, pdf_spec, col_spec = out_sp, pdf_sp_plain, col_sp_plain
+    else:
+        # transmission sub-branch (disney.py:172-188)
+        etai, etao = _etas(p, sign)
+        eta = etai / etao
+        fdf = dielectric_fresnel(etao, etai, cosoh_sp)
+        reflrate = lerp(fdf, 0.2, 1.0)
+        take_refl_r, _w4, pdf_r = choice_split(w3, reflrate)
+        # reflected transmission ray
+        pdf_sp_trefl = ds * fdf
+        col_sp_trefl = basecolor * _sd(fdf * transmission,
+                                       pdf_c * pdf_s * pdf_t * pdf_r)
+        # refracted transmission ray
+        has_rf, out_rf = vrefract(-indir, h_sp, eta)
+        pdf_sp_trefr = jnp.where(has_rf, ds * (1.0 - fdf), 0.0)
+        col_sp_trefr = vwhere(
+            has_rf,
+            basecolor * _sd((1.0 - fdf) * transmission,
+                            pdf_c * pdf_s * pdf_t * pdf_r),
+            0.0)
+        out_spec = vwhere(take_trans_r, vwhere(take_refl_r, out_sp, out_rf),
+                          out_sp)
+        pdf_spec = jnp.where(take_trans_r,
+                             jnp.where(take_refl_r, pdf_sp_trefl,
+                                       pdf_sp_trefr),
+                             pdf_sp_plain)
+        col_spec = vwhere(take_trans_r, vwhere(take_refl_r, col_sp_trefl,
+                                               col_sp_trefr),
+                          col_sp_plain)
     pdf_spec = jnp.where(ok_sp, pdf_spec, 0.0)
     col_spec = vwhere(ok_sp, col_spec, 0.0)
 
@@ -236,18 +275,27 @@ def disney_sample(p, normal, sign, indir, su, sv, sw):
     fo_d = schlick_fresnel(coso_df)
     fd90 = 0.5 + 2.0 * cosoh_df ** 2 * p['roughness']
     fd = lerp(fi_d, 1.0, fd90) * lerp(fo_d, 1.0, fd90)
-    fss90 = cosoh_df ** 2 * p['roughness']
-    fss = lerp(fi_d, 1.0, fss90) * lerp(fo_d, 1.0, fss90)
-    ss = 1.25 * (fss * (_sd(1.0, cosi_df + coso_df) - 0.5) + 0.5)
-    fsheen = p['sheencolor'] * (schlick_fresnel(cosoh_df) * p['sheen'])
-    diffuse = basecolor * ((1.0 / PI) * lerp(p['subsurface'], fd, ss)) + fsheen
-    pdf_df = jnp.full_like(cosi_df, 1.0 / PI)
-    col_df = diffuse * (PI * _sd((1.0 - metallic) * (1.0 - transmission),
-                                 pdf_c * pdf_s))
+    if 'subsurface' in zero:
+        diff_lobe = fd
+    else:
+        fss90 = cosoh_df ** 2 * p['roughness']
+        fss = lerp(fi_d, 1.0, fss90) * lerp(fo_d, 1.0, fss90)
+        ss = 1.25 * (fss * (_sd(1.0, cosi_df + coso_df) - 0.5) + 0.5)
+        diff_lobe = lerp(p['subsurface'], fd, ss)
+    diffuse = basecolor * ((1.0 / PI) * diff_lobe)
+    if 'sheen' not in zero:
+        diffuse = diffuse + p['sheencolor'] * (
+            schlick_fresnel(cosoh_df) * p['sheen'])
+    kd = 1.0 if no_metal else 1.0 - metallic
+    kt = 1.0 if no_trans else 1.0 - transmission
+    col_df = diffuse * (PI * _sd(kd * kt, pdf_c * pdf_s))
 
     # ---------------- select by lane decision ----------------
-    outdir = vwhere(take_coat, out_cc, vwhere(take_spec, out_spec, out_df))
-    pdf = jnp.where(take_coat, pdf_cc,
-                    jnp.where(take_spec, pdf_spec, pdf_df))
-    color = vwhere(take_coat, col_cc, vwhere(take_spec, col_spec, col_df))
+    outdir = vwhere(take_spec, out_spec, out_df)
+    pdf = jnp.where(take_spec, pdf_spec, 1.0 / PI)
+    color = vwhere(take_spec, col_spec, col_df)
+    if not no_coat:
+        outdir = vwhere(take_coat, out_cc, outdir)
+        pdf = jnp.where(take_coat, pdf_cc, pdf)
+        color = vwhere(take_coat, col_cc, color)
     return outdir, pdf, color

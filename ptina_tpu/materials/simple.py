@@ -94,14 +94,14 @@ def phong_sample(p, normal, sign, indir, su, sv, sw):
     return vnormalize(vwhere(ok, outdir, normal)), pdf, color
 
 
-def _disney_eval(p, normal, sign, indir, outdir):
+def _disney_eval(p, normal, sign, indir, outdir, zero=()):
     from ptina_tpu.materials.disney import disney_eval
-    return disney_eval(p, normal, sign, indir, outdir)
+    return disney_eval(p, normal, sign, indir, outdir, zero)
 
 
-def _disney_sample(p, normal, sign, indir, su, sv, sw):
+def _disney_sample(p, normal, sign, indir, su, sv, sw, zero=()):
     from ptina_tpu.materials.disney import disney_sample
-    return disney_sample(p, normal, sign, indir, su, sv, sw)
+    return disney_sample(p, normal, sign, indir, su, sv, sw, zero)
 
 
 MATERIAL_MODELS = {
@@ -112,11 +112,19 @@ MATERIAL_MODELS = {
 }
 
 
-def bsdf_eval(model, p, normal, sign, indir, outdir):
+def bsdf_eval(model, p, normal, sign, indir, outdir, zero=()):
     '''Static-string model dispatch (the reference swaps material classes
-    in mtllib.py:79-95 by edit; here it is a config knob).'''
+    in mtllib.py:79-95 by edit; here it is a config knob).  zero: static
+    zero-parameter names (Materials.zero), consumed by the disney model
+    to drop dead lobes at trace time.'''
+    if model == 'disney':
+        return MATERIAL_MODELS[model][0](p, normal, sign, indir, outdir,
+                                         zero)
     return MATERIAL_MODELS[model][0](p, normal, sign, indir, outdir)
 
 
-def bsdf_sample(model, p, normal, sign, indir, su, sv, sw):
+def bsdf_sample(model, p, normal, sign, indir, su, sv, sw, zero=()):
+    if model == 'disney':
+        return MATERIAL_MODELS[model][1](p, normal, sign, indir, su, sv,
+                                         sw, zero)
     return MATERIAL_MODELS[model][1](p, normal, sign, indir, su, sv, sw)

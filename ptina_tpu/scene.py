@@ -59,9 +59,26 @@ class Materials:
     '''Material table: [M+1, 12, 4] factors and [M+1, 12] texture ids.
     Row M (the last row) holds the defaults for mtlid == -1.  A parameter's
     value is fac * texture(uv) when its texture id is >= 0
-    (reference ParameterPair, ptina/mtllib.py:30-38).'''
+    (reference ParameterPair, ptina/mtllib.py:30-38).
+
+    `zero` is the STATIC tuple of parameter names whose factor is 0 in
+    every row (a zero factor annihilates any texture): the Disney
+    evaluator skips those lobes at trace time — exactly equivalent
+    because choice_split(w, 0) passes the uniform through with pdf 1 —
+    which drops the clearcoat lobe, the transmission sub-branch
+    (dielectric Fresnel + refraction), sheen and subsurface terms from
+    scenes that do not use them.  Being part of the pytree STRUCTURE,
+    a material edit that turns a lobe on recompiles automatically.'''
     fac: jnp.ndarray   # [M+1, 12, 4] f32
     tex: jnp.ndarray   # [M+1, 12] i32
+    zero: tuple = flax.struct.field(pytree_node=False, default=())
+
+
+# lobes the Disney evaluator can statically drop when the parameter is
+# zero across the whole table (materials/disney.py consumes this via
+# Materials.zero)
+SPECIALIZABLE_PARAMS = ('metallic', 'subsurface', 'sheen', 'clearcoat',
+                        'transmission')
 
 
 @flax.struct.dataclass
@@ -243,7 +260,10 @@ def make_materials(materials=None, max_materials=None):
                     f = np.concatenate([f, [1.0]]).astype(np.float32)
                 fac[i, p, :] = f[:4]
                 tex[i, p] = -1 if t is None else int(t)
-    return Materials(fac=jnp.asarray(fac), tex=jnp.asarray(tex))
+    zero = tuple(
+        name for p, name in enumerate(MATERIAL_PARAMS)
+        if name in SPECIALIZABLE_PARAMS and not fac[:, p, :3].any())
+    return Materials(fac=jnp.asarray(fac), tex=jnp.asarray(tex), zero=zero)
 
 
 def make_textures(images=None):

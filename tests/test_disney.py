@@ -127,3 +127,52 @@ def test_transmission_refracts():
     pd = np.asarray(pdf)
     # some lanes must refract through (negative z)
     assert (o[pd > 0, 2] < 0).any()
+
+
+def test_zero_specialization_is_exact():
+    '''Statically skipping identically-zero lobes (Materials.zero) must
+    be EXACTLY equivalent to evaluating them against 0-valued params —
+    same outdir, pdf, color and eval bits.'''
+    import numpy as np
+    from ptina_tpu.materials.disney import (disney_derive, disney_eval,
+                                            disney_sample)
+    from ptina_tpu.utils.vec import V3, vnormalize
+
+    rng = np.random.RandomState(11)
+    n = 256
+    zero_names = ('metallic', 'subsurface', 'sheen', 'clearcoat',
+                  'transmission')
+    params = {'basecolor': V3(*(jnp.asarray(rng.rand(n), jnp.float32)
+                                for _ in range(3)))}
+    for name in ('roughness', 'specular', 'specularTint', 'sheenTint',
+                 'clearcoatGloss'):
+        params[name] = jnp.asarray(rng.rand(n), jnp.float32)
+    params['ior'] = jnp.full((n,), 1.45, jnp.float32)
+    for name in zero_names:
+        params[name] = jnp.zeros((n,), jnp.float32)
+    p = disney_derive(params)
+
+    def unit(seed):
+        v = rng.randn(3, n).astype(np.float32)
+        return vnormalize(V3(*(jnp.asarray(r) for r in v)))
+
+    normal = unit(0)
+    indir = unit(1)
+    outdir = unit(2)
+    sign = jnp.asarray(rng.rand(n) * 2 - 1, jnp.float32)
+    su, sv, sw = (jnp.asarray(rng.rand(n), jnp.float32) for _ in range(3))
+
+    e_full = disney_eval(p, normal, sign, indir, outdir, zero=())
+    e_spec = disney_eval(p, normal, sign, indir, outdir, zero=zero_names)
+    for a, b in zip((e_full.x, e_full.y, e_full.z),
+                    (e_spec.x, e_spec.y, e_spec.z)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    o1, pdf1, c1 = disney_sample(p, normal, sign, indir, su, sv, sw,
+                                 zero=())
+    o2, pdf2, c2 = disney_sample(p, normal, sign, indir, su, sv, sw,
+                                 zero=zero_names)
+    np.testing.assert_array_equal(np.asarray(pdf1), np.asarray(pdf2))
+    for a, b in ((o1.x, o2.x), (o1.y, o2.y), (o1.z, o2.z),
+                 (c1.x, c2.x), (c1.y, c2.y), (c1.z, c2.z)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
