@@ -113,7 +113,8 @@ def _lights_hit_k(lt, count, ro, rd):
         t = jnp.where(is_point, t_sph,
                       jnp.where(is_area & hit_rect, t_rect, 0.0))
         area = jnp.where(is_point, jnp.pi * size * size, 4.0 * size * size)
-        valid = live & (t > 0.0) & (t < INF) & ~found
+        # nearest light wins (dis starts INF) — see lights.lights_hit
+        valid = live & (t > 0.0) & (t < dis)
         dis = jnp.where(valid, t, dis)
         pdf = jnp.where(valid, t * t / jnp.maximum(area, 1e-12), pdf)
         color = vwhere(valid, _lt_v3(lt, 3, l), color)

@@ -26,7 +26,8 @@ Correctness does not depend on the culling quality: the candidate test
 is conservative (superset), and a degenerate block simply wastes one
 step.  Hit semantics match intersect/brute.py (reference
 Face.intersect + nearest-hit loop, ptina/geometries.py:117-148,
-lbvh.py:313-347) with the core's ordering-grade t (2^-12).
+lbvh.py:313-347) with the core's ordering-grade t (2^-12) and the
+near-parallel-ray edge case documented at plucker.chunk_valid.
 '''
 
 import functools
@@ -41,7 +42,7 @@ from ptina_tpu.intersect.brute import Hit
 from ptina_tpu.intersect.pallas_cast import _prep
 from ptina_tpu.intersect.plucker import (
     pack_plucker, pack_extract, ray_features, cast_closest_chunks,
-    cast_mint_chunks, key_decode_t, KEY_FID_MASK, N_COEF)
+    cast_mint_chunks, key_decode_t, FACE_CHUNK, KEY_FID_MASK, N_COEF)
 
 __all__ = ['blocked_cast_closest', 'blocked_cast_shade',
            'blocked_cast_any', 'blocked_tables', 'BLOCKED_TR']
@@ -58,6 +59,9 @@ def blocked_tables(tri_w2b, tri_attrs, block_faces):
     f = tri_w2b.shape[0]
     assert f % block_faces == 0, 'pad faces to a BLOCK_FACES multiple'
     assert block_faces <= KEY_FID_MASK + 1  # block-local fid fits the key
+    # the [nb, 5*block_faces, 14] reshape below is only a per-block
+    # re-grouping when pack_plucker's chunk-major layout tiles evenly
+    assert block_faces % FACE_CHUNK == 0
     nb = f // block_faces
     t5 = pack_plucker(tri_w2b)  # chunk-major; block_faces % chunk == 0
     t5b = t5.reshape(nb, 5 * block_faces, 14)
@@ -261,4 +265,5 @@ def blocked_cast_any(ro, rd, t5b, block_bounds, avoid, tmax,
     )(cand, cnt, q, avoid2, t5b)
     npad = ntotal - n
     tmaxp = (jnp.pad(tmax, (0, npad)) if npad else tmax)
-    return t[0, :n] < tmaxp[:n]
+    # miss = INF must not occlude even for tmax beyond the far clip
+    return t[0, :n] < jnp.minimum(tmaxp[:n], INF)

@@ -131,7 +131,10 @@ def cast_any(ro, rd, tri_w2b, avoid, tmax, tile=TILE_F):
     def body(occ, m_tile_base):
         m_tile, base = m_tile_base
         t, _, _ = _tile_test(o4, d4, m_tile, base, avoid)
-        return occ | jnp.any(t < tmax[:, None], axis=-1), None
+        # clamp tmax to the far clip: t >= INF is a miss (cast_closest's
+        # t < INF hit test) and must not occlude for any tmax
+        tm = jnp.minimum(tmax, INF)
+        return occ | jnp.any(t < tm[:, None], axis=-1), None
 
     tiles = tri_w2b.reshape(f // tile, tile, 3, 4)
     bases = jnp.arange(f // tile, dtype=jnp.int32) * tile

@@ -61,7 +61,9 @@ def _closest_kernel(q_ref, avoid_ref, t5_ref, coef_ref,
 
 def _any_kernel(q_ref, avoid_ref, tmax_ref, t5_ref, occ_ref, *, interp):
     mint = cast_mint_chunks(t5_ref[:], q_ref[:], avoid_ref[:], interp)
-    occ_ref[:] = (mint < tmax_ref[:]).astype(jnp.int32)
+    # clamp tmax to the far clip: mint == INF means miss, which must not
+    # occlude even when the caller's tmax exceeds INF
+    occ_ref[:] = (mint < jnp.minimum(tmax_ref[:], INF)).astype(jnp.int32)
 
 
 def _shade_kernel(q_ref, avoid_ref, t5_ref, ext_ref,

@@ -190,9 +190,16 @@ def chunk_valid(U, V, W, B, An, base, avoid):
                        sign-correct value; denormal underflow to 0 only
                        drops hits with t far beyond the INF clamp)
     Valid lanes therefore have An * r strictly positive and never NaN
-    (B != 0 guaranteed; denormal B gives +inf, clamped by the caller).
+    (B != 0 guaranteed; denormal B gives +inf, rejected by the caller's
+    t < INF far-clip test).
     Exact-edge hits whose numerator computes to -0.0 are rejected where
     the >=-form accepted them — a measure-zero semantics difference.
+    KNOWN DIVERGENCE from intersect/brute.py (and the reference's
+    Face.intersect): brute rejects near-parallel rays with |b0| < EPS
+    (1e-6) outright; here any B != 0 with a sub-far-clip t counts, so a
+    grazing ray with |b0| in (0, 1e-6) and small An can hit where brute
+    misses.  Measure-zero in practice; the cross-check tests use scenes
+    away from that edge.
     Returns (valid, fids).'''
     bi = _i32(B)
     fids = base + jax.lax.broadcasted_iota(jnp.int32, B.shape, 0)
@@ -245,11 +252,14 @@ def cast_closest_chunks(t5, ext, q, avoid, interp=False,
         U, V, W, B, An = chunk_uvwta(t5c, q)
         valid, fids = chunk_valid(U, V, W, B, An, ci * FACE_CHUNK, avoid)
         r = recip(B, interp, approx=True)
-        # valid sign structure guarantees An * r >= 0; B ~ 0 gives
-        # inf/huge t, clamped to the INF sentinel so it cannot win
-        ts = jnp.minimum(An * r, INF)
+        # valid sign structure guarantees An * r >= 0; hits at or beyond
+        # the far clip (t >= INF, incl. B ~ 0 giving inf/huge t) are
+        # MISSES — matching brute.cast_closest's `t < INF` hit test.
+        # (Clamping them ONTO the sentinel instead packed a key below
+        # KEY_MISS, so far-clip geometry shadowed as a hit at t~999936.)
+        ts = An * r
         key = jnp.where(
-            valid,
+            valid & (ts < INF),
             (_i32(ts) & ~jnp.int32(fid_mask)) | fids,
             KEY_MISS)
         km = jnp.min(key, axis=0, keepdims=True)          # [1, NR]
@@ -297,6 +307,8 @@ def cast_mint_chunks(t5, q, avoid, interp=False):
         U, V, W, B, An = chunk_uvwta(t5c, q)
         valid, _ = chunk_valid(U, V, W, B, An, ci * FACE_CHUNK, avoid)
         r = recip(B, interp, approx=True)
-        ts = jnp.where(valid, An * r, INF)
+        # t >= INF is a miss (brute parity; see cast_closest_chunks)
+        ts = An * r
+        ts = jnp.where(valid & (ts < INF), ts, INF)
         best = jnp.minimum(best, jnp.min(ts, axis=0, keepdims=True))
     return best

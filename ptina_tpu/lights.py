@@ -63,10 +63,14 @@ def ray_rect(ro, rd, pos, dirx, diry):
 
 def lights_hit(lights, ro, rd):
     '''Direct-hit query against every light (reference hit(),
-    ptina/light/__init__.py:51-81).  The reference scans slots in order
-    and stops at the first hit — reproduced by keeping the lowest-index
-    hit slot.  ro, rd: V3 rows.  Returns dict(hit [N] bool, dis [N],
-    pdf [N], color V3).'''
+    ptina/light/__init__.py:51-81).  DELIBERATE DIVERGENCE: the
+    reference scans slots in order and stops at the FIRST hit, so with
+    overlapping lights a farther list-earlier light can occlude a nearer
+    one; here the NEAREST hit wins (same op count: the running-min
+    compare replaces the found-flag test).  engine/fused._lights_hit_k
+    mirrors this; tests/test_lights_film.py covers the overlap case.
+    ro, rd: V3 rows.  Returns dict(hit [N] bool, dis [N], pdf [N],
+    color V3).'''
     L = lights.size.shape[0]
     n_sh = ro.x.shape
 
@@ -90,7 +94,7 @@ def lights_hit(lights, ro, rd):
         t = jnp.where(is_point, t_sph,
                       jnp.where(is_area & hit_rect, t_rect, 0.0))
         area = jnp.where(is_point, jnp.pi * size * size, 4.0 * size * size)
-        valid = live & (t > 0.0) & (t < INF) & ~found
+        valid = live & (t > 0.0) & (t < dis)  # nearest wins (dis starts INF)
 
         dis = jnp.where(valid, t, dis)
         pdf = jnp.where(valid, t * t / jnp.maximum(area, 1e-12), pdf)

@@ -94,6 +94,36 @@ def test_degenerate_padding_never_hits():
     assert int(hit.index[0]) == 0
 
 
+def test_far_clip_hit_is_miss():
+    '''A hit at t >= INF (1e6) is a MISS in every cast implementation:
+    brute rejects it via t < INF; the Plücker packed-key core must not
+    clamp it onto the sentinel and report a phantom hit at t ~ 999936
+    (round-3 advisor repro: far geometry shadowed instead of sampling
+    the environment).'''
+    from ptina_tpu.intersect import brute
+    from ptina_tpu.intersect.pallas_cast import (
+        pallas_cast_closest, pallas_cast_any)
+    from ptina_tpu.utils.vec import V3
+
+    # one huge triangle 2e6 away, perpendicular to +z
+    tris = np.asarray([[[-4e6, -4e6, 2e6], [4e6, -4e6, 2e6],
+                        [0.0, 4e6, 2e6]]], np.float32)
+    m = precompute_tri_functionals(jnp.asarray(tris))
+    ro = V3.from_array(jnp.zeros((8, 3)))
+    rd = V3.from_array(jnp.asarray([[0.0, 0.0, 1.0]] * 8))
+    avoid = jnp.full(8, -1, jnp.int32)
+
+    ref = brute.cast_closest(ro, rd, m, avoid)
+    assert not np.asarray(ref.hit).any()
+    hit = pallas_cast_closest(ro, rd, m, avoid, interpret=True)
+    assert not np.asarray(hit.hit).any()
+    # a far-clip miss must not occlude, even for tmax beyond INF
+    tmax = jnp.full(8, 3e6)
+    assert not np.asarray(brute.cast_any(ro, rd, m, avoid, tmax)).any()
+    occ = pallas_cast_any(ro, rd, m, avoid, tmax, interpret=True)
+    assert not np.asarray(occ).any()
+
+
 def test_pallas_wavefront_casts_match_brute():
     '''The Plücker-core Pallas wavefront casts (interpret mode) agree
     with the XLA brute oracle — hit flags, winner face, ordering-grade

@@ -72,6 +72,32 @@ def test_lights_sample_area_cosine():
     assert np.allclose(np.asarray(out['color'].to_array()[0]), 10.0, atol=1e-4)
 
 
+def test_lights_hit_nearest_wins():
+    # Two lights on the same ray, the NEARER one listed SECOND: the
+    # reference's first-hit-wins scan would return the farther slot-0
+    # light; this framework deliberately keeps the nearest (see
+    # lights.lights_hit docstring).  Both implementations must agree.
+    lights = make_lights([
+        dict(color=(1, 0, 0), pos=(0, 0, 8), size=0.5, type=LIGHT_POINT),
+        dict(color=(0, 1, 0), pos=(0, 0, 3), size=0.5, type=LIGHT_POINT),
+    ])
+    ro = _v3(jnp.zeros((1, 3)))
+    rd = _v3(jnp.asarray([[0.0, 0.0, 1.0]]))
+    out = lights_hit(lights, ro, rd)
+    assert bool(out['hit'][0])
+    assert abs(float(out['dis'][0]) - 2.5) < 1e-4  # 3 - 0.5 radius
+    assert np.allclose(np.asarray(out['color'].to_array()[0]), [0, 1, 0])
+
+    # the megakernel's in-kernel variant (pure jnp: callable outside
+    # Pallas) must mirror the same nearest-wins semantics
+    from ptina_tpu.engine.fused import _lights_hit_k, _pack_lights
+    lt = _pack_lights(lights)
+    found, dis, pdf, color = _lights_hit_k(lt, lights.count, ro, rd)
+    assert bool(found[0])
+    assert abs(float(dis[0]) - 2.5) < 1e-4
+    assert np.allclose(np.asarray(color.to_array()[0]), [0, 1, 0])
+
+
 def test_lights_sample_empty_pool():
     lights = make_lights([], default_light=False)
     half = jnp.full((4,), 0.5)
