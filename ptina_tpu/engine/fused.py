@@ -43,9 +43,16 @@ from ptina_tpu.scene import LIGHT_POINT, LIGHT_AREA
 from ptina_tpu.utils.mathutils import safe_sqrt
 from ptina_tpu.utils.vec import vspherical
 
-__all__ = ['MAX_FUSED_FACES', 'fused_eligible', 'fused_trace']
+__all__ = ['MAX_FUSED_FACES', 'MAX_FUSED_TEX_BYTES', 'fused_eligible',
+           'fused_trace']
 
 MAX_FUSED_FACES = 1024  # [F, TR] working set must fit VMEM
+
+# Texture atlases up to this packed-f32 size ride inside the kernel
+# (VMEM-resident, fetched by the weight-matmul of _tex_bilinear_k); a
+# 64x64 RGBA texture is 64 KB.  Bigger atlases fall back to wavefront.
+MAX_FUSED_TEX_BYTES = 4 * 1024 * 1024
+MAX_FUSED_TEX_BINDINGS = 8  # unrolled (material, param, texid) triples
 
 
 def _tr_for(f):
@@ -56,12 +63,16 @@ def _tr_for(f):
 
 def fused_eligible(scene):
     '''Static (trace-time) check: can this scene use the megakernel?'''
-    untextured = (scene.textures.data.shape[1] == 1
-                  and scene.textures.data.shape[2] == 1)
+    tex = scene.textures.data
+    no_tex = tex.shape[1] == 1 and tex.shape[2] == 1
+    tex_ok = no_tex or (
+        tex.size * 4 <= MAX_FUSED_TEX_BYTES
+        and len(scene.materials.textured) <= MAX_FUSED_TEX_BINDINGS
+        and not scene.world_textured)
     return (jax.default_backend() == 'tpu'
             and scene.tri_w2b.shape[0] <= MAX_FUSED_FACES
             and scene.accel != 'blocked'
-            and untextured)
+            and tex_ok)
 
 
 # in-kernel geometry: the shared Plücker cast core (intersect/plucker.py)
@@ -171,9 +182,9 @@ def _lights_sample_k(lt, count, hitpos, su, sv, sz):
 
 def _fetch_material_k(fac, mtlid):
     '''Unrolled material-table fetch (same scheme as mtllib.fetch_material,
-    untextured).  fac: [14, M+1] — rows 0-2 basecolor rgb, 3-13 the 11
-    scalar params.  Returns the derived Disney param dict.'''
-    from ptina_tpu.scene import MATERIAL_PARAMS
+    factors only).  fac: [14, M+1] — rows 0-2 basecolor rgb, 3-13 the 11
+    scalar params.  Returns RAW (basecolor V3, [11] scalar rows); the
+    caller applies texture modulation (if any) and disney_derive.'''
     m1 = fac.shape[1]
     row = jnp.where(mtlid < 0, m1 - 1, mtlid)
     base = V3(jnp.broadcast_to(fac[0, m1 - 1], row.shape),
@@ -186,10 +197,61 @@ def _fetch_material_k(fac, mtlid):
         base = vwhere(sel, V3(fac[0, m], fac[1, m], fac[2, m]), base)
         for p in range(11):
             scal[p] = jnp.where(sel, fac[3 + p, m], scal[p])
+    return base, scal
+
+
+def _derive_material_k(base, scal):
+    from ptina_tpu.scene import MATERIAL_PARAMS
     params = {'basecolor': base}
     for p, name in enumerate(MATERIAL_PARAMS[1:]):
         params[name] = scal[p]
     return disney_derive(params)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel texture fetch.  A per-lane gather is unavailable on the VPU,
+# so the bilinear fetch is re-expressed as dense linear algebra over the
+# VMEM-resident atlas (semantics identical to texture.sample_texture,
+# reference ptina/image.py:137-148):
+#   * the x-axis taps become a WEIGHT MATRIX Wx [H, NR] with (1-fx) at
+#     row ix and fx at row ix+1 (wrapped), so ONE MXU matmul
+#     [4W, H] @ [H, NR] yields every ray's x-interpolated texel row;
+#   * the y-axis taps reduce the channel-major rows against the same
+#     trick's Wy [W, NR] on the VPU (a per-lane weighted sum, 2 ops/texel
+#     row).
+# Cost per (texture, ray tile): ~5 ops * (H + W) rows * NR lanes of VPU
+# plus one small matmul — ~5 M ops at 64x64/4096, a few percent of a
+# bounce, versus the wavefront path's per-ray HBM gathers.
+# ---------------------------------------------------------------------------
+
+def _tex_bilinear_k(texp, nx, ny, s, t, W, H, theta):
+    '''Bilinear wrap-around fetch of texture `theta` for one lane-major
+    ray tile.  texp: [T*4W, H] packed atlas (channel-major over W,
+    transposed -- see _pack_textures); nx/ny: live extents (f32 scalars);
+    s, t: [1, NR].  Returns [rgba] as four [1, NR] rows.'''
+    nr = s.shape[1]
+    px = s * (nx - 1.0)
+    py = t * (ny - 1.0)
+    ix = jnp.floor(px)
+    iy = jnp.floor(py)
+    fx = px - ix
+    fy = py - iy
+    # wrap (reference semantics); f32 int arithmetic is exact < 2^24,
+    # compares run in i32 (Mosaic's iota is integer-only)
+    ix0 = jnp.mod(ix, nx).astype(jnp.int32)
+    ix1 = jnp.mod(ix + 1.0, nx).astype(jnp.int32)
+    iy0 = jnp.mod(iy, ny).astype(jnp.int32)
+    iy1 = jnp.mod(iy + 1.0, ny).astype(jnp.int32)
+    rows_h = jax.lax.broadcasted_iota(jnp.int32, (H, nr), 0)
+    wx = (jnp.where(rows_h == ix0, 1.0 - fx, 0.0)
+          + jnp.where(rows_h == ix1, fx, 0.0))
+    tex4wh = texp[theta * 4 * W:(theta + 1) * 4 * W]   # [4W, H] static slice
+    rowmix = jnp.dot(tex4wh, wx, preferred_element_type=jnp.float32)
+    rows_w = jax.lax.broadcasted_iota(jnp.int32, (W, nr), 0)
+    wy = (jnp.where(rows_w == iy0, 1.0 - fy, 0.0)
+          + jnp.where(rows_w == iy1, fy, 0.0))
+    return [jnp.sum(rowmix[c * W:(c + 1) * W] * wy, axis=0, keepdims=True)
+            for c in range(4)]
 
 
 # ---------------------------------------------------------------------------
@@ -259,7 +321,9 @@ def _tile_cast_closest(t5, attrs, ro, rd, avoid_lanes, ones1, zeros1,
                        interp):
     '''Closest cast of all RG*TR rays of a tile in ONE matmul.
     avoid_lanes: [1, RG*TR] i32.  Returns (t [RG, TR], index [RG, TR]
-    i32, index_lanes [1, RG*TR] i32, attrs 6 x [RG, TR]).'''
+    i32, index_lanes [1, RG*TR] i32, attrs 6 x [RG, TR], attrs_lanes
+    [6, RG*TR] — the same attributes pre-relayout, for consumers that
+    need lane-major rows like the texture fetch).'''
     tr = ro.x.shape[1]
     q = _tile_q(ro, rd, ones1, zeros1)
     key, _, _, out = cast_closest_chunks(t5, attrs, q, avoid_lanes, interp,
@@ -271,7 +335,7 @@ def _tile_cast_closest(t5, attrs, ro, rd, avoid_lanes, ones1, zeros1,
     t = _lanes_to_rows(tmin, tr)[0]
     index = _lanes_to_rows(idx, tr)[0]
     a6 = _lanes_to_rows(out, tr)
-    return t, index, idx, a6
+    return t, index, idx, a6, out
 
 
 def _tile_cast_mint(t5, ro, rd, avoid_lanes, ones1, zeros1, interp):
@@ -284,8 +348,15 @@ def _tile_cast_mint(t5, ro, rd, avoid_lanes, ones1, zeros1, interp):
 
 
 def _path_kernel(rays_ref, u_ref, m_all_ref, attr_ref, fac_ref,
-                 lt_ref, cnt_ref, wf_ref, r_ref, g_ref, b_ref,
-                 interp=False, zero=()):
+                 lt_ref, *refs,
+                 interp=False, zero=(), textured=(), tex_hw=(1, 1)):
+    # positional ref tail: [texp, texdim (textured scenes only)], cnt,
+    # wf inputs, then the r/g/b outputs
+    if textured:
+        texp_ref, texdim_ref, cnt_ref, wf_ref, r_ref, g_ref, b_ref = refs
+    else:
+        cnt_ref, wf_ref, r_ref, g_ref, b_ref = refs
+        texp_ref = texdim_ref = None
     tr = rays_ref.shape[1]
     rr = rays_ref[:].reshape(6, RG, tr)
     ro = V3(rr[0], rr[1], rr[2])
@@ -299,6 +370,7 @@ def _path_kernel(rays_ref, u_ref, m_all_ref, attr_ref, fac_ref,
     lt = lt_ref[:]
     count = cnt_ref[0, 0]
     world = V3(wf_ref[0, 0], wf_ref[0, 1], wf_ref[0, 2])
+    texp = texp_ref[:] if textured else None
 
     n_sh = ro.x.shape
     zero = jnp.zeros(n_sh)
@@ -321,7 +393,7 @@ def _path_kernel(rays_ref, u_ref, m_all_ref, attr_ref, fac_ref,
         u = uu[2 + 6 * b:2 + 6 * (b + 1)]
         rd = vnormalize(rd)
 
-        t, index, idx_lanes, a6 = _tile_cast_closest(
+        t, index, idx_lanes, a6, a6_lanes = _tile_cast_closest(
             t5, attrs, ro, rd, avoid_lanes, ones1, zeros1, interp)
         hit = index >= 0
         normal = vnormalize(V3(a6[0], a6[1], a6[2]))
@@ -329,7 +401,32 @@ def _path_kernel(rays_ref, u_ref, m_all_ref, attr_ref, fac_ref,
         hitpos = ro + rd * t
         sign = -vdot(rd, normal)
         normal = vwhere(sign < 0, -normal, normal)
-        material = _fetch_material_k(fac, mtlid)
+        base, scal = _fetch_material_k(fac, mtlid)
+
+        # texture-modulated parameters: one in-VMEM bilinear fetch per
+        # DISTINCT texture (lane-major), applied to every bound
+        # (material, param) triple (mtllib.fetch_material semantics,
+        # reference ParameterPair ptina/mtllib.py:30-38)
+        if textured:
+            H, W = tex_hw
+            s_l = a6_lanes[3:4]
+            t_l = a6_lanes[4:5]
+            texv = {}
+            for _, _, th in textured:
+                if th not in texv:
+                    nx = texdim_ref[0, 2 * th]
+                    ny = texdim_ref[0, 2 * th + 1]
+                    chans = _tex_bilinear_k(texp, nx, ny, s_l, t_l, W, H, th)
+                    texv[th] = [_lanes_to_rows(c, tr)[0] for c in chans]
+            for m, p, th in textured:
+                selm = mtlid == m
+                c = texv[th]
+                if p == 0:
+                    base = vwhere(selm, base * V3(c[0], c[1], c[2]), base)
+                else:
+                    scal[p - 1] = jnp.where(selm, scal[p - 1] * c[0],
+                                            scal[p - 1])
+        material = _derive_material_k(base, scal)
 
         # direct light hit with MIS (reference path.py:31-35)
         lhit, ldis, lpdf, lcolor = _lights_hit_k(lt, count, ro, rd)
@@ -397,6 +494,19 @@ def _pack_materials(mats):
     return jnp.concatenate([f[:, 0, 0:3].T, f[:, 1:12, 0].T], axis=0)
 
 
+def _pack_textures(atlas):
+    '''Kernel-side atlas layout: [T*4W, H] — per texture, channel-major
+    rows over the y (W) axis, TRANSPOSED so _tex_bilinear_k's x-axis
+    weight matmul is [4W, H] @ [H, NR] with no in-kernel relayout.
+    Plus the [1, 2T] (nx, ny) extent table for SMEM.'''
+    data = atlas.data  # [T, H, W, 4]
+    t, h, w, _ = data.shape
+    texp = data.transpose(0, 3, 2, 1).reshape(t * 4 * w, h)
+    dims = jnp.stack([atlas.nx.astype(jnp.float32),
+                      atlas.ny.astype(jnp.float32)], axis=1).reshape(1, 2 * t)
+    return texp, dims
+
+
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
@@ -439,14 +549,26 @@ def fused_trace(scene, ro, rd, uniforms, interpret=False):
                                       memory_space=pltpu.SMEM)
     blk = lambda rows: pl.BlockSpec((rows, tr), lambda i: (i, 0),
                                     memory_space=pltpu.VMEM)
+
+    textured = scene.materials.textured
+    t_, h_, w_, _ = scene.textures.data.shape
+    tex_in = []
+    tex_specs = []
+    if textured:
+        texp, texdim = _pack_textures(scene.textures)
+        tex_in = [texp, texdim]
+        tex_specs = [full(texp.shape), smem(texdim.shape)]
+
     out_sh = jax.ShapeDtypeStruct((nb * RG, tr), jnp.float32)
     rx, gx, bx = pl.pallas_call(
         functools.partial(_path_kernel, interp=interpret,
-                          zero=scene.materials.zero),
+                          zero=scene.materials.zero,
+                          textured=textured, tex_hw=(h_, w_)),
         grid=(nb,),
         in_specs=[blk(6 * RG), blk(dims * RG),
                   full((5 * f, 14)), full(attrs.shape), full(fac.shape),
-                  full(lt.shape), smem((1, 1)), smem((1, 4))],
+                  full(lt.shape)] + tex_specs
+                 + [smem((1, 1)), smem((1, 4))],
         out_specs=[blk(RG)] * 3,
         out_shape=[out_sh, out_sh, out_sh],
         interpret=interpret,
@@ -457,5 +579,5 @@ def fused_trace(scene, ro, rd, uniforms, interpret=False):
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=('parallel',),
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(rays, u, t5, attrs, fac, lt, cnt, wf)
+    )(rays, u, t5, attrs, fac, lt, *tex_in, cnt, wf)
     return V3(rx.reshape(-1)[:n], gx.reshape(-1)[:n], bx.reshape(-1)[:n])

@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ptina_tpu.utils.mathutils import INF
+from ptina_tpu.utils.vec import V3
 from ptina_tpu.intersect.brute import Hit
 from ptina_tpu.intersect.pallas_cast import _prep
 from ptina_tpu.intersect.plucker import (
@@ -48,6 +49,10 @@ __all__ = ['blocked_cast_closest', 'blocked_cast_shade',
            'blocked_cast_any', 'blocked_tables', 'BLOCKED_TR']
 
 BLOCKED_TR = 512   # rays per tile (lane axis)
+
+CAND_BITS = 12     # low bits of a packed candidate word = block id
+CAND_MASK = (1 << CAND_BITS) - 1  # caps scenes at 4096 blocks = 2^21
+# faces at BLOCK_FACES=512 (the reference LBVH's capacity, things.py:13)
 
 
 def blocked_tables(tri_w2b, tri_attrs, block_faces):
@@ -71,6 +76,58 @@ def blocked_tables(tri_w2b, tri_attrs, block_faces):
     return t5b, extb
 
 
+def _coherence_order(ro, rd, block_bounds):
+    '''Sort permutation that packs SECONDARY rays into coherent tiles:
+    key = Morton-interleaved 8^3 origin cell over the scene bounds, then
+    the 3-bit direction octant.  After one bounce a wavefront's rays
+    point everywhere, so an unsorted tile's direction interval straddles
+    0 on every axis and the broad phase can cull nothing (round-3
+    verdict); sorted tiles keep both intervals tight, which is what
+    makes _candidate_blocks' feasibility AND entry bounds bite.
+    block_bounds supplies the scene AABB (padding blocks are inverted
+    and drop out of the min/max).'''
+    lo = jnp.min(block_bounds[:, 0:3], axis=0)
+    hi = jnp.max(block_bounds[:, 3:6], axis=0)
+    inv = 8.0 / jnp.maximum(hi - lo, 1e-12)
+
+    def cell(x, l, s):
+        q = jnp.clip(((x - l) * s).astype(jnp.int32), 0, 7)
+        # spread 3 bits to every 3rd position (tiny Morton expand)
+        return ((q & 1) | ((q & 2) << 2) | ((q & 4) << 4))
+
+    mx = cell(ro.x, lo[0], inv[0])
+    my = cell(ro.y, lo[1], inv[1])
+    mz = cell(ro.z, lo[2], inv[2])
+    morton = (mx << 2) | (my << 1) | mz
+    octant = ((rd.x < 0).astype(jnp.int32) * 4
+              + (rd.y < 0).astype(jnp.int32) * 2
+              + (rd.z < 0).astype(jnp.int32))
+    key = (morton << 3) | octant
+    return jnp.argsort(key).astype(jnp.int32)
+
+
+def _i32v(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _gather_rays(order, ro, rd, avoid):
+    '''Apply the coherence permutation to the cast inputs.'''
+    return (V3(ro.x[order], ro.y[order], ro.z[order]),
+            V3(rd.x[order], rd.y[order], rd.z[order]),
+            avoid[order])
+
+
+def _unsort_shade(order, hit, attrs):
+    '''Scatter sorted-order shade results back to caller order:
+    out[order[i]] = res[i].'''
+    def put(x):
+        return jnp.zeros_like(x).at[order].set(x)
+    hit = Hit(hit=put(hit.hit), t=put(hit.t), index=put(hit.index),
+              u=put(hit.u), v=put(hit.v))
+    attrs = jnp.zeros_like(attrs).at[:, order].set(attrs)
+    return hit, attrs
+
+
 def _tile_ray_bounds(o4, d4, tr):
     '''Per-tile componentwise intervals of ray origins and directions.
     o4, d4: [4, Npad] homogeneous rays (Npad a tr multiple).
@@ -86,25 +143,63 @@ def _candidate_blocks(block_bounds, olo, ohi, dlo, dhi):
     a ray tile unless, on some axis, the box is strictly outside the
     tile's origin interval with no ray direction pointing toward it.
     (Interval arithmetic over the slab test: ignores cross-axis t
-    coupling, so it only over-approximates.)  Returns (cand [nt, nb]
-    i32 candidate block ids — real candidates first, then the last real
-    one repeated so the pipeline never refetches — and cnt [nt] i32.'''
-    lo = block_bounds[:, 0:3]   # [nb, 3]
-    hi = block_bounds[:, 3:6]
+    coupling, so it only over-approximates.)
+
+    Each candidate also gets a conservative LOWER BOUND on any tile
+    ray's entry t into the block (0 when the tile's direction interval
+    straddles 0 on every separating axis), and candidates are ordered
+    by it — nearest block first.  The cast kernels compare the running
+    per-ray minimum against the next candidate's bound and skip blocks
+    no ray can improve on (the TPU counterpart of BVH traversal's
+    node-beyond-closest-hit pruning, reference ptina/tree/lbvh.py:330).
+
+    Returns (cand [nt, nb] i32 candidate block ids — real candidates
+    first, then the last real one repeated so the pipeline never
+    refetches — entry [nt, nb] f32 bounds in slot order, and cnt [nt]
+    i32.'''
+    lo = block_bounds[None, :, 0:3]   # [1, nb, 3]
+    hi = block_bounds[None, :, 3:6]
     valid = jnp.all(lo <= hi, axis=-1)  # padding blocks are inverted
-    overlap = (olo[:, None] <= hi[None]) & (ohi[:, None] >= lo[None])
-    toward_r = (lo[None] > ohi[:, None]) & (dhi[:, None] > 0.0)
-    toward_l = (hi[None] < olo[:, None]) & (dlo[:, None] < 0.0)
-    feas = jnp.all(overlap | toward_r | toward_l, axis=-1) & valid[None]
+    olo, ohi = olo[:, None], ohi[:, None]  # [nt, 1, 3]
+    dlo, dhi = dlo[:, None], dhi[:, None]
+    overlap = (olo <= hi) & (ohi >= lo)
+    toward_r = (lo > ohi) & (dhi > 0.0)
+    toward_l = (hi < olo) & (dlo < 0.0)
+    feas = jnp.all(overlap | toward_r | toward_l, axis=-1) & valid
+
+    # per-axis entry lower bound: only when every tile ray agrees on the
+    # direction sign is (gap / fastest speed) a valid bound
+    all_pos = dlo > 0.0
+    all_neg = dhi < 0.0
+    ent_r = jnp.where(all_pos & (lo > ohi),
+                      (lo - ohi) / jnp.where(all_pos, dhi, 1.0), 0.0)
+    ent_l = jnp.where(all_neg & (hi < olo),
+                      (hi - olo) / jnp.where(all_neg, dlo, 1.0), 0.0)
+    entry = jnp.max(jnp.maximum(ent_r, ent_l), axis=-1)  # [nt, nb]
+
     cnt = jnp.sum(feas, axis=-1).astype(jnp.int32)
-    order = jnp.argsort(~feas, axis=-1, stable=True).astype(jnp.int32)
+    # sort by (infeasible, entry): feasible blocks first, nearest first
+    key = jnp.where(feas, entry, jnp.inf)
+    order = jnp.argsort(key, axis=-1, stable=True).astype(jnp.int32)
+    ent_sorted = jnp.take_along_axis(key, order, axis=-1)
+    ent_sorted = jnp.where(jnp.isfinite(ent_sorted), ent_sorted, 0.0)
     last = jnp.take_along_axis(order, jnp.maximum(cnt - 1, 0)[:, None], 1)
     slot = jnp.arange(order.shape[1], dtype=jnp.int32)[None, :]
     cand = jnp.where(slot < cnt[:, None], order, last)
-    return cand, cnt
+
+    # pack (entry, block id) into ONE i32 per slot: the [nt, nb] scalar-
+    # prefetch tables live in 1 MB of SMEM, and a second f32 entry table
+    # blew it on 200-block scenes.  Entries are >= 0, so their f32 bit
+    # pattern orders like the float; flooring the low CAND_BITS away is
+    # CONSERVATIVE (a lower bound stays a lower bound — worst case one
+    # extra visit).  Block ids ride in those low bits.
+    assert block_bounds.shape[0] <= CAND_MASK + 1, 'raise CAND_BITS'
+    ent_bits = jax.lax.bitcast_convert_type(ent_sorted, jnp.int32)
+    candent = (ent_bits & ~jnp.int32(CAND_MASK)) | cand
+    return candent, cnt
 
 
-def _blocked_shade_kernel(cand_ref, cnt_ref, q_ref, avoid_ref,
+def _blocked_shade_kernel(ce_ref, cnt_ref, q_ref, avoid_ref,
                           t5_ref, attr_ref,
                           t_ref, idx_ref, u_ref, v_ref, out_ref,
                           interp=False):
@@ -119,10 +214,20 @@ def _blocked_shade_kernel(cand_ref, cnt_ref, q_ref, avoid_ref,
         v_ref[:] = jnp.zeros(v_ref.shape)
         out_ref[:] = jnp.zeros(out_ref.shape)
 
-    @pl.when(j < cnt_ref[i])
+    # candidates arrive nearest-entry-first: once EVERY ray's running
+    # minimum beats the slot's conservative entry bound, no later slot
+    # can improve any ray — the remaining visits reduce to no-ops.
+    # (Rays that miss everything hold t = INF, which keeps visiting.)
+    # The slot word packs the entry bound's f32 bit pattern over the
+    # block id (see _candidate_blocks); t_ref is bitcast to i32 the same
+    # way (all values >= 0, so patterns order like floats and the whole
+    # compare stays integer — Mosaic has no scalar bitcast).
+    ent = ce_ref[i, j] & ~jnp.int32(CAND_MASK)
+
+    @pl.when((j < cnt_ref[i]) & (ent < jnp.max(_i32v(t_ref[:]))))
     def _visit():
         b = attr_ref.shape[2]
-        base = cand_ref[i, j] * b
+        base = (ce_ref[i, j] & CAND_MASK) * b
         # global `avoid` localized to this block ONCE per ray; the
         # shared core then works entirely in block-local face ids
         key, uw, vw, att = cast_closest_chunks(
@@ -142,8 +247,8 @@ def _blocked_shade_kernel(cand_ref, cnt_ref, q_ref, avoid_ref,
         out_ref[:] = jnp.where(better, att, out_ref[:])
 
 
-def _blocked_mint_kernel(cand_ref, cnt_ref, q_ref, avoid_ref,
-                         t5_ref, t_ref, interp=False):
+def _blocked_mint_kernel(ce_ref, cnt_ref, q_ref, avoid_ref,
+                         tmax_ref, t5_ref, t_ref, interp=False):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -151,53 +256,73 @@ def _blocked_mint_kernel(cand_ref, cnt_ref, q_ref, avoid_ref,
     def _init():
         t_ref[:] = jnp.full(t_ref.shape, INF)
 
-    @pl.when(j < cnt_ref[i])
+    # occlusion early-out: a ray is DECIDED once t < tmax (occluded) or
+    # when no remaining candidate can reach below tmax.  Visit while any
+    # ray is undecided (t >= tmax) and the slot's entry bound is below
+    # that ray's tmax: max over undecided rays' tmax > entry.  All in
+    # the i32 bit-pattern domain (see _blocked_shade_kernel); decided
+    # rays contribute -1, below every non-negative pattern.
+    ent = ce_ref[i, j] & ~jnp.int32(CAND_MASK)
+
+    @pl.when((j < cnt_ref[i])
+             & (ent < jnp.max(
+                 jnp.where(t_ref[:] < tmax_ref[:], jnp.int32(-1),
+                           _i32v(tmax_ref[:])))))
     def _visit():
         b = t5_ref.shape[1] // 5
-        base = cand_ref[i, j] * b
+        base = (ce_ref[i, j] & CAND_MASK) * b
         tm = cast_mint_chunks(t5_ref[0], q_ref[:],
                               avoid_ref[:] - base, interp)
         t_ref[:] = jnp.minimum(t_ref[:], tm)
 
 
-@functools.partial(jax.jit, static_argnames=('interpret',))
+@functools.partial(jax.jit, static_argnames=('interpret', 'sort'))
 def blocked_cast_shade(ro, rd, t5b, attrsb, block_bounds, avoid,
-                       interpret=False):
+                       interpret=False, sort=True):
     '''Closest hit + interpolated attributes through the two-level cast.
-    t5b/attrsb from blocked_tables.  Returns (Hit, attrs [C, N]).'''
+    t5b/attrsb from blocked_tables.  Returns (Hit, attrs [C, N]).
+    sort: pack rays into coherent tiles first (_coherence_order) —
+    results are scattered back to the caller's order, so the only
+    visible effect is which block shades a cross-block EXACT t tie
+    (measure-zero; the reference's BVH visit order is traversal-
+    dependent there too).'''
     nb, b5, _ = t5b.shape
     c3 = attrsb.shape[1] - N_COEF  # corner-attr rows (over the 15 coef rows)
     b = b5 // 5
     tr = BLOCKED_TR
+    if sort:
+        order = _coherence_order(ro, rd, block_bounds)
+        ro, rd, avoid = _gather_rays(order, ro, rd, avoid)
     o4t, d4t, avoid2, n, ntotal = _prep(ro, rd, avoid, tr)
     q = ray_features(o4t, d4t)
     nt = ntotal // tr
     olo, ohi, dlo, dhi = _tile_ray_bounds(o4t, d4t, tr)
-    cand, cnt = _candidate_blocks(block_bounds, olo, ohi, dlo, dhi)
+    ce, cnt = _candidate_blocks(block_bounds, olo, ohi, dlo, dhi)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2, grid=(nt, nb),
         in_specs=[
-            pl.BlockSpec((14, tr), lambda i, j, cand, cnt: (0, i),
+            pl.BlockSpec((14, tr), lambda i, j, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tr), lambda i, j, cand, cnt: (0, i),
+            pl.BlockSpec((1, tr), lambda i, j, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b5, 14), lambda i, j, cand, cnt: (cand[i, j], 0, 0),
+            pl.BlockSpec((1, b5, 14),
+                         lambda i, j, ce, *_: (ce[i, j] & CAND_MASK, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c3 + N_COEF, b),
-                         lambda i, j, cand, cnt: (cand[i, j], 0, 0),
+                         lambda i, j, ce, *_: (ce[i, j] & CAND_MASK, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tr), lambda i, j, cand, cnt: (0, i),
+            pl.BlockSpec((1, tr), lambda i, j, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tr), lambda i, j, cand, cnt: (0, i),
+            pl.BlockSpec((1, tr), lambda i, j, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tr), lambda i, j, cand, cnt: (0, i),
+            pl.BlockSpec((1, tr), lambda i, j, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tr), lambda i, j, cand, cnt: (0, i),
+            pl.BlockSpec((1, tr), lambda i, j, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c3 // 3, tr), lambda i, j, cand, cnt: (0, i),
+            pl.BlockSpec((c3 // 3, tr), lambda i, j, *_: (0, i),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -212,12 +337,15 @@ def blocked_cast_shade(ro, rd, t5b, attrsb, block_bounds, avoid,
             jax.ShapeDtypeStruct((c3 // 3, ntotal), jnp.float32),
         ],
         interpret=interpret,
-    )(cand, cnt, q, avoid2, t5b, attrsb)
+    )(ce, cnt, q, avoid2, t5b, attrsb)
     index = idx[0, :n]  # misses keep the -1 init: a _BIG winner means
     # tmin == INF, so `better` never lets it through
     hit = Hit(hit=index >= 0, t=t[0, :n], index=index,
               u=u[0, :n], v=v[0, :n])
-    return hit, attrs[:, :n]
+    attrs = attrs[:, :n]
+    if sort:
+        hit, attrs = _unsort_shade(order, hit, attrs)
+    return hit, attrs
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
@@ -229,31 +357,40 @@ def blocked_cast_closest(ro, rd, t5b, attrsb, block_bounds, avoid,
     return hit
 
 
-@functools.partial(jax.jit, static_argnames=('interpret',))
+@functools.partial(jax.jit, static_argnames=('interpret', 'sort'))
 def blocked_cast_any(ro, rd, t5b, block_bounds, avoid, tmax,
-                     interpret=False):
+                     interpret=False, sort=True):
     '''Occlusion cast: True where any face (except avoid) is hit at
-    0 < t < tmax.'''
+    0 < t < tmax.  sort: see blocked_cast_shade.'''
     nb, b5, _ = t5b.shape
     tr = BLOCKED_TR
+    if sort:
+        order = _coherence_order(ro, rd, block_bounds)
+        ro, rd, avoid = _gather_rays(order, ro, rd, avoid)
+        tmax = tmax[order]
     o4t, d4t, avoid2, n, ntotal = _prep(ro, rd, avoid, tr)
     q = ray_features(o4t, d4t)
     nt = ntotal // tr
+    npad = ntotal - n
+    tmax2 = (jnp.pad(tmax, (0, npad)) if npad else tmax)[None, :]
     olo, ohi, dlo, dhi = _tile_ray_bounds(o4t, d4t, tr)
-    cand, cnt = _candidate_blocks(block_bounds, olo, ohi, dlo, dhi)
+    ce, cnt = _candidate_blocks(block_bounds, olo, ohi, dlo, dhi)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2, grid=(nt, nb),
         in_specs=[
-            pl.BlockSpec((14, tr), lambda i, j, cand, cnt: (0, i),
+            pl.BlockSpec((14, tr), lambda i, j, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tr), lambda i, j, cand, cnt: (0, i),
+            pl.BlockSpec((1, tr), lambda i, j, *_: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b5, 14), lambda i, j, cand, cnt: (cand[i, j], 0, 0),
+            pl.BlockSpec((1, tr), lambda i, j, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b5, 14),
+                         lambda i, j, ce, *_: (ce[i, j] & CAND_MASK, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, tr), lambda i, j, cand, cnt: (0, i),
+            pl.BlockSpec((1, tr), lambda i, j, *_: (0, i),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -262,8 +399,9 @@ def blocked_cast_any(ro, rd, t5b, block_bounds, avoid, tmax,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((1, ntotal), jnp.float32)],
         interpret=interpret,
-    )(cand, cnt, q, avoid2, t5b)
-    npad = ntotal - n
-    tmaxp = (jnp.pad(tmax, (0, npad)) if npad else tmax)
+    )(ce, cnt, q, avoid2, tmax2, t5b)
     # miss = INF must not occlude even for tmax beyond the far clip
-    return t[0, :n] < jnp.minimum(tmaxp[:n], INF)
+    occ = t[0, :n] < jnp.minimum(tmax2[0, :n], INF)
+    if sort:
+        occ = jnp.zeros_like(occ).at[order].set(occ)
+    return occ

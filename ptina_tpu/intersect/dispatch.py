@@ -77,15 +77,23 @@ def cast_any(ro, rd, tri_w2b, avoid, tmax):
     return brute.cast_any(ro, rd, tri_w2b, avoid, tmax)
 
 
+def _blocked_scene_tables(scene):
+    '''The scene's pre-packed block tables (make_scene computes them
+    once); falls back to packing here for scenes built without them
+    (e.g. accel='blocked' forced onto a small morton=False scene).'''
+    if scene.t5b is not None:
+        return scene.t5b, scene.attrsb
+    from ptina_tpu.intersect.blocked import blocked_tables
+    from ptina_tpu.scene import BLOCK_FACES
+    return blocked_tables(scene.tri_w2b, scene.tri_attrs, BLOCK_FACES)
+
+
 def cast_shadow(scene, ro, rd, avoid, tmax):
     '''Occlusion cast routed by the scene's acceleration mode.'''
     ro, rd = _as_v3(ro), _as_v3(rd)
     if _route(scene) == 'blocked':
-        from ptina_tpu.intersect.blocked import blocked_tables, \
-            blocked_cast_any
-        from ptina_tpu.scene import BLOCK_FACES
-        t5b, _ = blocked_tables(scene.tri_w2b, scene.tri_attrs,
-                                BLOCK_FACES)
+        from ptina_tpu.intersect.blocked import blocked_cast_any
+        t5b, _ = _blocked_scene_tables(scene)
         return blocked_cast_any(ro, rd, t5b, scene.block_bounds,
                                 avoid, tmax, interpret=_blocked_interpret())
     return cast_any(ro, rd, scene.tri_w2b, avoid, tmax)
@@ -99,11 +107,8 @@ def cast_shaded(scene, ro, rd, avoid):
     ro, rd = _as_v3(ro), _as_v3(rd)
     route = _route(scene)
     if route == 'blocked':
-        from ptina_tpu.intersect.blocked import blocked_tables, \
-            blocked_cast_shade
-        from ptina_tpu.scene import BLOCK_FACES
-        t5b, attrsb = blocked_tables(
-            scene.tri_w2b, scene.tri_attrs, BLOCK_FACES)
+        from ptina_tpu.intersect.blocked import blocked_cast_shade
+        t5b, attrsb = _blocked_scene_tables(scene)
         hit, attrs = blocked_cast_shade(
             ro, rd, t5b, attrsb, scene.block_bounds, avoid,
             interpret=_blocked_interpret())

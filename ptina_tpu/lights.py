@@ -174,9 +174,12 @@ def world_at(scene, rd):
     WorldLight.at, ptina/light/world.py:22-29, including the blender axis
     swizzle for the equirect lookup).  Returns V3.'''
     fac = scene.world_fac
-    if scene.textures.data.shape[1] == 1 and scene.textures.data.shape[2] == 1:
-        # no real textures loaded (static shape) -> the equirect fetch and
-        # its arctan2s would be dead work on every bounce; skip at trace time
+    no_atlas = (scene.textures.data.shape[1] == 1
+                and scene.textures.data.shape[2] == 1)
+    if no_atlas or not scene.world_textured:
+        # statically constant environment (no atlas, or scene built with
+        # world_tex == -1): the equirect fetch and its arctan2s would be
+        # dead per-bounce work; skip at trace time
         one = jnp.ones_like(rd.x)
         return V3(fac[0] * one, fac[1] * one, fac[2] * one)
     textured = scene.world_tex >= 0

@@ -68,10 +68,18 @@ class Materials:
     which drops the clearcoat lobe, the transmission sub-branch
     (dielectric Fresnel + refraction), sheen and subsurface terms from
     scenes that do not use them.  Being part of the pytree STRUCTURE,
-    a material edit that turns a lobe on recompiles automatically.'''
+    a material edit that turns a lobe on recompiles automatically.
+
+    `textured` is the STATIC tuple of (material, param, texid) int
+    triples where `tex` >= 0 — the texture bindings as compile-time
+    structure, which lets the fused megakernel unroll its in-VMEM
+    texture fetches (engine/fused.py) without tracing data-dependent
+    control flow.  It mirrors `tex` by construction (make_materials);
+    edit bindings by rebuilding the table, not by replacing `tex`.'''
     fac: jnp.ndarray   # [M+1, 12, 4] f32
     tex: jnp.ndarray   # [M+1, 12] i32
     zero: tuple = flax.struct.field(pytree_node=False, default=())
+    textured: tuple = flax.struct.field(pytree_node=False, default=())
 
 
 # lobes the Disney evaluator can statically drop when the parameter is
@@ -136,10 +144,26 @@ class Scene:
     # box so every slab test fails (intersect/blocked.py).
     block_bounds: jnp.ndarray
 
+    # Pre-packed per-block cast tables for the blocked route
+    # (intersect/blocked.blocked_tables): t5b [nb, 5*BLOCK_FACES, 14]
+    # Plücker coefficients, attrsb [nb, 3C + 15, BLOCK_FACES] extraction
+    # rows.  Scene CONSTANTS — computed once here instead of per traced
+    # cast (repacking 102k faces inside the render graph re-ran
+    # pack_plucker every dispatch).  None on scenes that never route
+    # blocked (small, accel='dense').
+    t5b: jnp.ndarray = None
+    attrsb: jnp.ndarray = None
+
     # Acceleration-structure selection knob (config.accel): 'auto' routes
     # by face count, 'dense'/'blocked' force a path.  Static (not traced):
     # part of the pytree structure, so changing it recompiles.
     accel: str = flax.struct.field(pytree_node=False, default='auto')
+
+    # STATIC mirror of `world_tex >= 0` (set by make_scene): lets
+    # trace-time routing (megakernel eligibility, world_at's equirect
+    # fetch) specialize on whether the environment is textured.
+    world_textured: bool = flax.struct.field(pytree_node=False,
+                                             default=False)
 
 
 def precompute_tri_functionals(tri_pos):
@@ -263,7 +287,11 @@ def make_materials(materials=None, max_materials=None):
     zero = tuple(
         name for p, name in enumerate(MATERIAL_PARAMS)
         if name in SPECIALIZABLE_PARAMS and not fac[:, p, :3].any())
-    return Materials(fac=jnp.asarray(fac), tex=jnp.asarray(tex), zero=zero)
+    textured = tuple(
+        (mi, pi, int(tex[mi, pi]))
+        for mi in range(m + 1) for pi in range(12) if tex[mi, pi] >= 0)
+    return Materials(fac=jnp.asarray(fac), tex=jnp.asarray(tex), zero=zero,
+                     textured=textured)
 
 
 def make_textures(images=None):
@@ -398,13 +426,20 @@ def make_scene(vertices, mtlids=None, materials=None, images=None,
         cam_pers = ortho() @ lookat()
     cam_pers = np.asarray(cam_pers, np.float32)
 
+    tri_w2b_j = precompute_tri_functionals(tri_pos_j)
+    tri_attrs_j = pack_corner_attrs(tri_nrm_j, tri_uv_j, tri_mtl_j)
+    t5b = attrsb = None
+    if morton:  # scenes that (can) route blocked: pre-pack once
+        from ptina_tpu.intersect.blocked import blocked_tables
+        t5b, attrsb = blocked_tables(tri_w2b_j, tri_attrs_j, BLOCK_FACES)
+
     return Scene(
         tri_pos=tri_pos_j,
         tri_nrm=tri_nrm_j,
         tri_uv=tri_uv_j,
         tri_mtl=tri_mtl_j,
-        tri_w2b=precompute_tri_functionals(tri_pos_j),
-        tri_attrs=pack_corner_attrs(tri_nrm_j, tri_uv_j, tri_mtl_j),
+        tri_w2b=tri_w2b_j,
+        tri_attrs=tri_attrs_j,
         nfaces=jnp.asarray(nfaces, jnp.int32),
         materials=make_materials(materials, max_materials=max_materials),
         textures=make_textures(images),
@@ -415,5 +450,8 @@ def make_scene(vertices, mtlids=None, materials=None, images=None,
         cam_v2w=jnp.asarray(np.linalg.inv(cam_pers), jnp.float32),
         cam_w2v=jnp.asarray(cam_pers, jnp.float32),
         block_bounds=jnp.asarray(compute_block_bounds(tri_pos, nfaces)),
+        t5b=t5b,
+        attrsb=attrsb,
         accel=accel,
+        world_textured=bool(int(world_tex) >= 0),
     )

@@ -12,10 +12,11 @@ matrix is the one recorded at reference exams/benchmark.py:18-23.
 
 import numpy as np
 
-from ptina_tpu.scene import make_scene, LIGHT_AREA
+from ptina_tpu.scene import make_scene, LIGHT_AREA, LIGHT_POINT
 
 __all__ = ['BENCH_CAMERA', 'cornell_box', 'cornell_monkey',
-           'cornell_highpoly', 'matball', 'cornell_box_vertices']
+           'cornell_highpoly', 'matball', 'envlight_scene',
+           'cornell_box_vertices']
 
 # reference exams/benchmark.py:18-23
 BENCH_CAMERA = np.array([
@@ -138,18 +139,40 @@ def _ceiling_light(size=0.8, power=12.0):
                 size=size, type=LIGHT_AREA, axes=axes)
 
 
-def cornell_box(**kw):
-    '''Cornell two-boxes, 34 triangles (reference README.md:42-44 scene).'''
+def _shell_uvs(ntris):
+    '''Planar per-quad UVs for the cornell shell: each wall quad maps to
+    the full [0,1]^2 (corner order a-b-c / a-c-d of _quad).'''
+    tri_a = np.asarray([[0, 0], [1, 0], [1, 1]], np.float32)
+    tri_b = np.asarray([[0, 0], [1, 1], [0, 1]], np.float32)
+    return np.tile(np.stack([tri_a, tri_b]), (ntris // 2, 1, 1))
+
+
+def cornell_box(textured_image=None, **kw):
+    '''Cornell two-boxes, 34 triangles (reference README.md:42-44 scene).
+    textured_image: optional numpy image bound as material 0's basecolor
+    texture (the white walls/boxes), with planar wall UVs — the
+    benchmark's "textures on the default path" configuration
+    (reference ptina/mtllib.py:30-38).'''
     shell, mtl = _cornell_shell()
     tall = _box_tris((-0.75, 1.2, -0.6), (0.6, 1.2, 0.6), yaw=np.radians(18))
     short = _box_tris((0.75, 0.6, 0.7), (0.6, 0.6, 0.6), yaw=np.radians(-17))
-    tris = np.concatenate([shell, tall, short])
     mtlids = np.asarray(mtl + [0] * 12 + [0] * 12, np.int32)
-    verts = _mesh_to_vertices(tris)
+    mats = _materials()
+    if textured_image is not None:
+        kw.setdefault('images', [textured_image])
+        mats[0][0] = (mats[0][0][0], 0)  # basecolor fac * texture 0
+        shell_uv = _shell_uvs(shell.shape[0])
+        verts = np.concatenate([
+            _mesh_to_vertices(shell, uvs=shell_uv),
+            _mesh_to_vertices(tall),
+            _mesh_to_vertices(short),
+        ])
+    else:
+        verts = _mesh_to_vertices(np.concatenate([shell, tall, short]))
     kw.setdefault('cam_pers', BENCH_CAMERA)
     kw.setdefault('lights', [_ceiling_light()])
     kw.setdefault('world_fac', (0.05, 0.05, 0.05, 1.0))
-    return make_scene(verts, mtlids, materials=_materials(), **kw)
+    return make_scene(verts, mtlids, materials=mats, **kw)
 
 
 def cornell_box_vertices():
@@ -234,6 +257,39 @@ def cornell_highpoly(nu=320, nv=160, **kw):
     kw.setdefault('cam_pers', BENCH_CAMERA)
     kw.setdefault('lights', [_ceiling_light()])
     kw.setdefault('world_fac', (0.05, 0.05, 0.05, 1.0))
+    return make_scene(verts, mtlids, materials=_materials(), **kw)
+
+
+def envlight_scene(env_res=(64, 128), **kw):
+    '''Environment-light scene with full MIS (BASELINE.json config 4):
+    a glossy sphere + ground under a procedural equirect sky texture
+    (world_tex), plus a small area light so BOTH MIS strategies (light
+    sampling and BSDF sampling against the env) carry weight.  Sobol QMC
+    is the default sampler (sampling/sobol.py).'''
+    h, w = env_res
+    # simple sky gradient with a bright "sun" blob, equirect [h, w, 3]
+    ty = np.linspace(0, 1, h, dtype=np.float32)[:, None]
+    tx = np.linspace(0, 1, w, dtype=np.float32)[None, :]
+    sky = np.stack([0.3 + 0.4 * ty + 0.0 * tx,
+                    0.45 + 0.3 * ty + 0.0 * tx,
+                    0.7 + 0.25 * ty + 0.0 * tx], axis=-1)
+    sun = np.exp(-(((ty - 0.7) / 0.08) ** 2 + ((tx - 0.25) / 0.05) ** 2))
+    env = (sky + 18.0 * sun[..., None]).astype(np.float32)
+
+    ground = np.asarray(_quad([-6, 0, 6], [6, 0, 6], [6, 0, -6],
+                              [-6, 0, -6]), np.float32)
+    ball = _uv_sphere((0.0, 1.0, 0.0), 1.0, nu=48, nv=24)
+    verts = np.concatenate([
+        _mesh_to_vertices(ground),
+        _mesh_to_vertices(ball,
+                          normals=_sphere_smooth_normals(ball, (0, 1.0, 0))),
+    ])
+    mtlids = np.asarray([0, 0] + [3] * ball.shape[0], np.int32)
+    kw.setdefault('images', [env])
+    kw.setdefault('world_tex', 0)
+    kw.setdefault('world_fac', (1.0, 1.0, 1.0, 1.0))
+    kw.setdefault('lights', [dict(color=(24, 20, 14), pos=(2.0, 3.0, 2.0),
+                                  size=0.4, type=LIGHT_POINT)])
     return make_scene(verts, mtlids, materials=_materials(), **kw)
 
 

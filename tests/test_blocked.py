@@ -14,7 +14,7 @@ from ptina_tpu.scene import (make_scene, compute_block_bounds,
 from ptina_tpu.intersect import brute
 from ptina_tpu.intersect.blocked import (
     blocked_tables, blocked_cast_shade, blocked_cast_any,
-    _tile_ray_bounds, _candidate_blocks, BLOCKED_TR)
+    _tile_ray_bounds, _candidate_blocks, BLOCKED_TR, CAND_MASK)
 from ptina_tpu.intersect.pallas_cast import _prep
 from ptina_tpu.utils.vec import V3
 
@@ -69,12 +69,14 @@ def test_candidates_are_conservative():
     o4, d4, _, n, ntotal = _prep(ro, rd, jnp.full(96, -1, jnp.int32),
                                  BLOCKED_TR)
     olo, ohi, dlo, dhi = _tile_ray_bounds(o4, d4, BLOCKED_TR)
-    cand, cnt = _candidate_blocks(scene.block_bounds, olo, ohi, dlo, dhi)
+    ce, cnt = _candidate_blocks(scene.block_bounds, olo, ohi, dlo, dhi)
+    # packed word: entry f32 bits (non-negative) over the block id
+    cand = np.asarray(ce) & CAND_MASK
+    assert (np.asarray(ce) >= 0).all()
     # the oracle hit's winning face must live in a candidate block
     hit = brute.cast_closest(ro, rd, scene.tri_w2b,
                              jnp.full(96, -1, jnp.int32))
     idx = np.asarray(hit.index)
-    cand = np.asarray(cand)
     cnt = np.asarray(cnt)
     for r in np.nonzero(idx >= 0)[0]:
         tile = r // BLOCKED_TR

@@ -54,3 +54,44 @@ def test_fused_eligibility_gates():
     # eligibility is a static trace-time property
     on_tpu = jax.default_backend() == 'tpu'
     assert fused_eligible(scene) == on_tpu
+
+
+def _bench_texture():
+    return (np.linspace(0, 1, 64 * 64, dtype=np.float32)
+            .reshape(64, 64, 1) * np.ones((1, 1, 3), np.float32))
+
+
+def test_fused_textured_matches_wavefront():
+    '''The in-kernel weight-matmul texture fetch (engine/fused.py
+    _tex_bilinear_k) must reproduce the wavefront's gather-based
+    sample_texture: same textured cornell, same uniforms, same radiance
+    (up to the fetch's bf16 matmul rounding).'''
+    scene = cornell_box(textured_image=_bench_texture())
+    assert scene.materials.textured == ((0, 0, 0),)
+    res = 16
+    ro, rd, u = _primary(scene, res)
+    interpret = jax.default_backend() != 'tpu'
+    rad_f = fused_trace(scene, ro, rd, u, interpret=interpret)
+    rad_w = path_trace(scene, ro, rd, u)
+    a = np.stack([np.asarray(rad_f.x), np.asarray(rad_f.y),
+                  np.asarray(rad_f.z)])
+    b = np.stack([np.asarray(rad_w.x), np.asarray(rad_w.y),
+                  np.asarray(rad_w.z)])
+    assert np.isfinite(a).all()
+    # same tolerance rationale as test_fused_matches_wavefront, plus the
+    # texture weight matmul's bf16-truncated bilinear weights (~2^-8)
+    d = np.abs(a - b) / np.maximum(np.abs(b), 0.05)
+    assert (d.max(axis=0) < 2e-2).mean() > 0.95, \
+        f'{(d.max(axis=0) >= 2e-2).mean():.3f} paths differ'
+    assert abs(a.mean() - b.mean()) < 1e-2 * max(b.mean(), 1e-6)
+
+
+def test_fused_texture_eligibility():
+    '''Texture-size and binding-count caps gate the megakernel.'''
+    on_tpu = jax.default_backend() == 'tpu'
+    scene = cornell_box(textured_image=_bench_texture())
+    assert fused_eligible(scene) == on_tpu
+    # an atlas past the VMEM cap falls back to the wavefront path
+    big = np.ones((640, 640, 3), np.float32)
+    scene_big = cornell_box(textured_image=big)
+    assert not fused_eligible(scene_big)

@@ -48,15 +48,12 @@ def apply(variant):
         F._lights_sample_k = fake_ls
     if variant in ('no_fetch', 'shell'):
         def fake_fm(fac, mtlid):
-            from ptina_tpu.materials.disney import disney_derive
-            from ptina_tpu.scene import MATERIAL_PARAMS
             sh = mtlid.shape
             m1 = fac.shape[1]
-            params = {'basecolor': V3(jnp.full(sh, 0.8), jnp.full(sh, 0.8),
-                                      jnp.full(sh, 0.8))}
-            for i, nm in enumerate(MATERIAL_PARAMS[1:]):
-                params[nm] = jnp.broadcast_to(fac[3 + i, m1 - 1], sh)
-            return disney_derive(params)
+            base = V3(jnp.full(sh, 0.8), jnp.full(sh, 0.8), jnp.full(sh, 0.8))
+            scal = [jnp.broadcast_to(fac[3 + i, m1 - 1], sh)
+                    for i in range(11)]
+            return base, scal
         F._fetch_material_k = fake_fm
     if variant in ('no_closest', 'no_casts', 'shell'):
         def fake_closest(t5, attrs, ro, rd, avoid_lanes, o, z, interp):
@@ -66,7 +63,8 @@ def apply(variant):
             idx_lanes = jnp.zeros((1, sh[0] * sh[1]), jnp.int32)
             zero = jnp.zeros(sh)
             a6 = [zero, zero, jnp.ones(sh), zero, zero, zero]
-            return t, idx, idx_lanes, a6
+            a6_lanes = jnp.zeros((6, sh[0] * sh[1]))
+            return t, idx, idx_lanes, a6, a6_lanes
         F._tile_cast_closest = fake_closest
     if variant in ('no_shadow', 'no_casts', 'shell'):
         F._tile_cast_mint = lambda t5, ro, rd, avoid, o, z, i: \
