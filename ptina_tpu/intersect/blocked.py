@@ -10,17 +10,20 @@ intersect/pallas_cast.py but adds a broad phase over face BLOCKS:
     partitioned into BLOCK_FACES-sized spatially-coherent blocks with
     per-block AABBs (scene.compute_block_bounds) — the "leaves" of a
     fixed-depth, implicit two-level tree.
+  * Ray sort (XLA, per cast): rays are permuted into coherent tiles by
+    origin Morton cell + direction octant (_coherence_order), so tile
+    interval bounds stay tight even for post-bounce wavefronts.
   * Broad phase (XLA, per cast): each TR-ray tile gets a conservative
     interval slab test against every block AABB — O(ntiles * nblocks)
-    scalar work, no per-ray cost — and a compacted CANDIDATE block list.
-  * Narrow phase (Pallas): grid (ray_tile, candidate_slot); the
-    candidate list drives the triangle-block fetch through a scalar-
-    prefetch index map, so skipped blocks cost neither HBM traffic nor
-    MXU work (past-the-count slots repeat the last candidate, which the
-    pipeline recognizes as an already-resident block and elides).  Each
-    visited block runs the shared Plücker cast core
+    scalar work, no per-ray cost — and a compacted CANDIDATE block list
+    sorted by a conservative entry-t lower bound.
+  * Narrow phase (Pallas): ONE grid step per ray tile; candidates
+    advance in an in-kernel while_loop with double-buffered manual DMA
+    of the block tables from HBM, and the loop EXITS at the first
+    candidate whose entry bound no ray can improve on (BVH-style
+    pruning).  Each visited block runs the shared Plücker cast core
     (intersect/plucker.py: chunked matmul + division-free packed-key
-    tail), accumulated into a running per-ray minimum across steps.
+    tail), accumulated into a running per-ray minimum.
 
 Correctness does not depend on the culling quality: the candidate test
 is conservative (superset), and a degenerate block simply wastes one
@@ -54,11 +57,29 @@ CAND_BITS = 12     # low bits of a packed candidate word = block id
 CAND_MASK = (1 << CAND_BITS) - 1  # caps scenes at 4096 blocks = 2^21
 # faces at BLOCK_FACES=512 (the reference LBVH's capacity, things.py:13)
 
+import numpy as _np
+INF_BITS = int(_np.float32(INF).view(_np.int32))  # far clip as i32 pattern
+
+# VMEM-residency cap for the whole block-table working set (~480 B/face
+# packed: 320 t5 + 160 attrs).  131072 faces ~ 63 MB, inside the 100 MB
+# scoped budget.  Scenes beyond this need a streaming (DMA) traversal —
+# not currently wired (a first double-buffered variant deadlocked the
+# device; see _traverse).
+MAX_BLOCKED_VMEM_FACES = 131072
+
+
+T5_ROWS = 16  # coefficient rows (14) padded to a sublane multiple
+
 
 def blocked_tables(tri_w2b, tri_attrs, block_faces):
-    '''Re-pack the flat triangle tables into per-block form:
-    t5 [nb, 5B, 14] chunk-major Plücker coefficient blocks
-    (intersect/plucker.pack_plucker per block) and attrs [nb, 3C, B].
+    '''Re-pack the flat triangle tables into per-block TRANSPOSED form:
+    t5 [nb, 16, 5B] (intersect/plucker.pack_plucker per block, rows and
+    lanes swapped, coefficient rows zero-padded 14 -> 16) and attrs
+    [nb, R8, B] (extraction rows zero-padded to a multiple of 8).  The
+    transposition/padding makes every manually-DMAed slice tile-aligned
+    — Mosaic requires minor dims in 128s and sublane dims in 8s for
+    HBM->VMEM slice copies; the cast core consumes this layout via its
+    transposed=True path (plucker.chunk_uvwta_T).
     tri_w2b must be padded to a block_faces multiple (make_scene pads
     big scenes this way).'''
     f = tri_w2b.shape[0]
@@ -67,12 +88,15 @@ def blocked_tables(tri_w2b, tri_attrs, block_faces):
     # the [nb, 5*block_faces, 14] reshape below is only a per-block
     # re-grouping when pack_plucker's chunk-major layout tiles evenly
     assert block_faces % FACE_CHUNK == 0
+    assert (5 * block_faces) % 128 == 0
     nb = f // block_faces
     t5 = pack_plucker(tri_w2b)  # chunk-major; block_faces % chunk == 0
-    t5b = t5.reshape(nb, 5 * block_faces, 14)
+    t5b = t5.reshape(nb, 5 * block_faces, 14).transpose(0, 2, 1)
+    t5b = jnp.pad(t5b, ((0, 0), (0, T5_ROWS - 14), (0, 0)))
     ext = pack_extract(tri_w2b, tri_attrs)  # [3C + 15, F]
     c3e = ext.shape[0]
     extb = ext.reshape(c3e, nb, block_faces).transpose(1, 0, 2)
+    extb = jnp.pad(extb, ((0, 0), (0, -c3e % 8), (0, 0)))
     return t5b, extb
 
 
@@ -199,45 +223,73 @@ def _candidate_blocks(block_bounds, olo, ohi, dlo, dhi):
     return candent, cnt
 
 
+# ---------------------------------------------------------------------------
+# Traversal kernels: ONE grid step per ray tile; candidates advance in an
+# in-kernel while_loop with manual double-buffered DMA from HBM.
+#
+# The previous design made candidates a second GRID dimension (nt, nb)
+# and skipped non-candidates with pl.when — but a skipped Mosaic grid
+# step still costs ~1.3 us of loop/bookkeeping overhead, and at 512
+# tiles x 199 blocks that was ~137 ms per cast of pure overhead, 10x
+# the narrow-phase work after culling (measured round 4).  The dynamic
+# loop pays only for blocks actually visited, and exits OUTRIGHT at the
+# first candidate whose entry bound no ray can improve on (candidates
+# are entry-sorted) — true BVH-style pruning, not just skipping.
+# ---------------------------------------------------------------------------
+
+
+def _traverse(ce_ref, i, cnt, visit, mx0):
+    '''Entry-ordered candidate traversal: for j in 0.. while the packed
+    entry bound of candidate j is below the running i32 threshold
+    (visit() returns the updated threshold).  The block tables are
+    VMEM-resident; visit() reads its block by dynamic index, so there
+    is no DMA machinery in the loop (an earlier double-buffered
+    HBM-DMA variant deadlocked the device; VMEM residency caps the
+    face count — see MAX_BLOCKED_VMEM_FACES — and a streaming variant
+    can reintroduce DMA for scenes beyond it).'''
+    def ent(j):
+        return ce_ref[i, jnp.minimum(j, ce_ref.shape[1] - 1)] \
+            & ~jnp.int32(CAND_MASK)
+
+    def cond(c):
+        j, mx = c
+        return (j < cnt) & (ent(j) < mx)
+
+    def body(c):
+        j, mx = c
+        return j + 1, visit(j)
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), mx0))
+
+
 def _blocked_shade_kernel(ce_ref, cnt_ref, q_ref, avoid_ref,
                           t5_ref, attr_ref,
                           t_ref, idx_ref, u_ref, v_ref, out_ref,
-                          interp=False):
+                          interp=False, n_attr=6):
     i = pl.program_id(0)
-    j = pl.program_id(1)
+    t_ref[:] = jnp.full(t_ref.shape, INF)
+    idx_ref[:] = jnp.full(idx_ref.shape, -1, jnp.int32)
+    u_ref[:] = jnp.zeros(u_ref.shape)
+    v_ref[:] = jnp.zeros(v_ref.shape)
+    out_ref[:] = jnp.zeros(out_ref.shape)
+    b = attr_ref.shape[2]
 
-    @pl.when(j == 0)
-    def _init():
-        t_ref[:] = jnp.full(t_ref.shape, INF)
-        idx_ref[:] = jnp.full(idx_ref.shape, -1, jnp.int32)
-        u_ref[:] = jnp.zeros(u_ref.shape)
-        v_ref[:] = jnp.zeros(v_ref.shape)
-        out_ref[:] = jnp.zeros(out_ref.shape)
-
-    # candidates arrive nearest-entry-first: once EVERY ray's running
-    # minimum beats the slot's conservative entry bound, no later slot
-    # can improve any ray — the remaining visits reduce to no-ops.
-    # (Rays that miss everything hold t = INF, which keeps visiting.)
-    # The slot word packs the entry bound's f32 bit pattern over the
-    # block id (see _candidate_blocks); t_ref is bitcast to i32 the same
-    # way (all values >= 0, so patterns order like floats and the whole
-    # compare stays integer — Mosaic has no scalar bitcast).
-    ent = ce_ref[i, j] & ~jnp.int32(CAND_MASK)
-
-    @pl.when((j < cnt_ref[i]) & (ent < jnp.max(_i32v(t_ref[:]))))
-    def _visit():
-        b = attr_ref.shape[2]
-        base = (ce_ref[i, j] & CAND_MASK) * b
+    # thresholds/entries compare as i32 bit patterns (values >= 0 order
+    # like floats; Mosaic has no scalar bitcast)
+    def visit(j):
+        blk = ce_ref[i, j] & CAND_MASK
+        base = blk * b
         # global `avoid` localized to this block ONCE per ray; the
         # shared core then works entirely in block-local face ids
         key, uw, vw, att = cast_closest_chunks(
-            t5_ref[0], attr_ref[0], q_ref[:], avoid_ref[:] - base, interp,
-            n_attr=(attr_ref.shape[1] - N_COEF) // 3)
+            t5_ref[blk], attr_ref[blk], q_ref[:], avoid_ref[:] - base,
+            interp, n_attr=n_attr, transposed=True)
         tm = key_decode_t(key)  # miss decodes to NaN: better = False
-        # strict < keeps the EARLIEST visited block on cross-block t
-        # ties; candidates are ascending block ids, and within a block
-        # the key already broke ties toward the lowest fid — together
-        # the reference's lowest-face-id-wins rule
+        # strict < keeps the EARLIEST visited block on t ties; visits
+        # run nearest-entry-first, and within a block the key already
+        # broke ties toward the lowest fid (cross-block exact-t ties
+        # may resolve by visit order — measure-zero, see
+        # blocked_cast_shade)
         better = tm < t_ref[:]
         t_ref[:] = jnp.where(better, tm, t_ref[:])
         idx_ref[:] = jnp.where(better, base + (key & KEY_FID_MASK),
@@ -245,98 +297,93 @@ def _blocked_shade_kernel(ce_ref, cnt_ref, q_ref, avoid_ref,
         u_ref[:] = jnp.where(better, uw, u_ref[:])
         v_ref[:] = jnp.where(better, vw, v_ref[:])
         out_ref[:] = jnp.where(better, att, out_ref[:])
+        return jnp.max(_i32v(t_ref[:]))
+
+    _traverse(ce_ref, i, cnt_ref[i], visit, jnp.int32(INF_BITS))
 
 
 def _blocked_mint_kernel(ce_ref, cnt_ref, q_ref, avoid_ref,
-                         tmax_ref, t5_ref, t_ref, interp=False):
+                         tmax_ref, t5_ref, t_ref,
+                         interp=False):
     i = pl.program_id(0)
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _init():
-        t_ref[:] = jnp.full(t_ref.shape, INF)
+    t_ref[:] = jnp.full(t_ref.shape, INF)
+    b = t5_ref.shape[2] // 5
 
     # occlusion early-out: a ray is DECIDED once t < tmax (occluded) or
-    # when no remaining candidate can reach below tmax.  Visit while any
-    # ray is undecided (t >= tmax) and the slot's entry bound is below
-    # that ray's tmax: max over undecided rays' tmax > entry.  All in
-    # the i32 bit-pattern domain (see _blocked_shade_kernel); decided
-    # rays contribute -1, below every non-negative pattern.
-    ent = ce_ref[i, j] & ~jnp.int32(CAND_MASK)
+    # when no remaining candidate can reach below tmax.  The traversal
+    # threshold is max over undecided rays of tmax (decided rays
+    # contribute -1, below every non-negative i32 float pattern).
+    def thresh():
+        return jnp.max(jnp.where(t_ref[:] < tmax_ref[:], jnp.int32(-1),
+                                 _i32v(tmax_ref[:])))
 
-    @pl.when((j < cnt_ref[i])
-             & (ent < jnp.max(
-                 jnp.where(t_ref[:] < tmax_ref[:], jnp.int32(-1),
-                           _i32v(tmax_ref[:])))))
-    def _visit():
-        b = t5_ref.shape[1] // 5
-        base = (ce_ref[i, j] & CAND_MASK) * b
-        tm = cast_mint_chunks(t5_ref[0], q_ref[:],
-                              avoid_ref[:] - base, interp)
+    def visit(j):
+        blk = ce_ref[i, j] & CAND_MASK
+        tm = cast_mint_chunks(t5_ref[blk], q_ref[:],
+                              avoid_ref[:] - blk * b, interp,
+                              transposed=True)
         t_ref[:] = jnp.minimum(t_ref[:], tm)
+        return thresh()
+
+    _traverse(ce_ref, i, cnt_ref[i], visit, thresh())
 
 
-@functools.partial(jax.jit, static_argnames=('interpret', 'sort'))
+@functools.partial(jax.jit, static_argnames=('interpret', 'sort', 'n_attr'))
 def blocked_cast_shade(ro, rd, t5b, attrsb, block_bounds, avoid,
-                       interpret=False, sort=True):
+                       interpret=False, sort=True, n_attr=6):
     '''Closest hit + interpolated attributes through the two-level cast.
     t5b/attrsb from blocked_tables.  Returns (Hit, attrs [C, N]).
     sort: pack rays into coherent tiles first (_coherence_order) —
     results are scattered back to the caller's order, so the only
     visible effect is which block shades a cross-block EXACT t tie
     (measure-zero; the reference's BVH visit order is traversal-
-    dependent there too).'''
-    nb, b5, _ = t5b.shape
-    c3 = attrsb.shape[1] - N_COEF  # corner-attr rows (over the 15 coef rows)
+    dependent there too).
+    n_attr: corner attribute channels in attrsb (6 = nrm3+uv2+mtl).'''
+    nb, rows_t5, b5 = t5b.shape
+    assert nb * (b5 // 5) <= MAX_BLOCKED_VMEM_FACES, \
+        'scene exceeds the VMEM-resident blocked-cast cap'
+    rows_at = attrsb.shape[1]
+    c3 = 3 * n_attr
     b = b5 // 5
     tr = BLOCKED_TR
     if sort:
         order = _coherence_order(ro, rd, block_bounds)
         ro, rd, avoid = _gather_rays(order, ro, rd, avoid)
     o4t, d4t, avoid2, n, ntotal = _prep(ro, rd, avoid, tr)
-    q = ray_features(o4t, d4t)
+    q = jnp.pad(ray_features(o4t, d4t), ((0, T5_ROWS - 14), (0, 0)))
     nt = ntotal // tr
     olo, ohi, dlo, dhi = _tile_ray_bounds(o4t, d4t, tr)
     ce, cnt = _candidate_blocks(block_bounds, olo, ohi, dlo, dhi)
 
+    lane = lambda rows: pl.BlockSpec((rows, tr), lambda i, *_: (0, i),
+                                     memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i, *_: (0, 0, 0),
+                                      memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(nt, nb),
+        num_scalar_prefetch=2, grid=(nt,),
         in_specs=[
-            pl.BlockSpec((14, tr), lambda i, j, *_: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tr), lambda i, j, *_: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b5, 14),
-                         lambda i, j, ce, *_: (ce[i, j] & CAND_MASK, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c3 + N_COEF, b),
-                         lambda i, j, ce, *_: (ce[i, j] & CAND_MASK, 0, 0),
-                         memory_space=pltpu.VMEM),
+            lane(T5_ROWS), lane(1),
+            full(t5b.shape),     # whole table VMEM-resident
+            full(attrsb.shape),
         ],
-        out_specs=[
-            pl.BlockSpec((1, tr), lambda i, j, *_: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tr), lambda i, j, *_: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tr), lambda i, j, *_: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tr), lambda i, j, *_: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((c3 // 3, tr), lambda i, j, *_: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[lane(1), lane(1), lane(1), lane(1), lane(n_attr)],
     )
     t, idx, u, v, attrs = pl.pallas_call(
-        functools.partial(_blocked_shade_kernel, interp=interpret),
+        functools.partial(_blocked_shade_kernel, interp=interpret,
+                          n_attr=n_attr),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((1, ntotal), jnp.float32),
             jax.ShapeDtypeStruct((1, ntotal), jnp.int32),
             jax.ShapeDtypeStruct((1, ntotal), jnp.float32),
             jax.ShapeDtypeStruct((1, ntotal), jnp.float32),
-            jax.ShapeDtypeStruct((c3 // 3, ntotal), jnp.float32),
+            jax.ShapeDtypeStruct((n_attr, ntotal), jnp.float32),
         ],
         interpret=interpret,
+        **({} if interpret else dict(
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=('arbitrary',),
+                vmem_limit_bytes=100 * 1024 * 1024))),
     )(ce, cnt, q, avoid2, t5b, attrsb)
     index = idx[0, :n]  # misses keep the -1 init: a _BIG winner means
     # tmin == INF, so `better` never lets it through
@@ -362,43 +409,41 @@ def blocked_cast_any(ro, rd, t5b, block_bounds, avoid, tmax,
                      interpret=False, sort=True):
     '''Occlusion cast: True where any face (except avoid) is hit at
     0 < t < tmax.  sort: see blocked_cast_shade.'''
-    nb, b5, _ = t5b.shape
+    nb, rows_t5, b5 = t5b.shape
     tr = BLOCKED_TR
     if sort:
         order = _coherence_order(ro, rd, block_bounds)
         ro, rd, avoid = _gather_rays(order, ro, rd, avoid)
         tmax = tmax[order]
     o4t, d4t, avoid2, n, ntotal = _prep(ro, rd, avoid, tr)
-    q = ray_features(o4t, d4t)
+    q = jnp.pad(ray_features(o4t, d4t), ((0, T5_ROWS - 14), (0, 0)))
     nt = ntotal // tr
     npad = ntotal - n
     tmax2 = (jnp.pad(tmax, (0, npad)) if npad else tmax)[None, :]
     olo, ohi, dlo, dhi = _tile_ray_bounds(o4t, d4t, tr)
     ce, cnt = _candidate_blocks(block_bounds, olo, ohi, dlo, dhi)
 
+    lane = lambda rows: pl.BlockSpec((rows, tr), lambda i, *_: (0, i),
+                                     memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(shape, lambda i, *_: (0, 0, 0),
+                                      memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(nt, nb),
+        num_scalar_prefetch=2, grid=(nt,),
         in_specs=[
-            pl.BlockSpec((14, tr), lambda i, j, *_: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tr), lambda i, j, *_: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tr), lambda i, j, *_: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b5, 14),
-                         lambda i, j, ce, *_: (ce[i, j] & CAND_MASK, 0, 0),
-                         memory_space=pltpu.VMEM),
+            lane(T5_ROWS), lane(1), lane(1),
+            full(t5b.shape),     # whole table VMEM-resident
         ],
-        out_specs=[
-            pl.BlockSpec((1, tr), lambda i, j, *_: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[lane(1)],
     )
     t, = pl.pallas_call(
         functools.partial(_blocked_mint_kernel, interp=interpret),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((1, ntotal), jnp.float32)],
         interpret=interpret,
+        **({} if interpret else dict(
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=('arbitrary',),
+                vmem_limit_bytes=100 * 1024 * 1024))),
     )(ce, cnt, q, avoid2, tmax2, t5b)
     # miss = INF must not occlude even for tmax beyond the far clip
     occ = t[0, :n] < jnp.minimum(tmax2[0, :n], INF)

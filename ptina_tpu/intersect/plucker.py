@@ -160,6 +160,21 @@ def ray_features(o4, d4):
                             ox, oy, oz, one], axis=0)
 
 
+def chunk_uvwta_T(t5Tc, q):
+    '''Transposed-layout variant of chunk_uvwta: t5Tc [QR, 5FC] with the
+    coefficient rows on the SUBLANE axis (QR = 14 padded up for DMA
+    alignment; q padded to match with zero rows).  One dot_general
+    contracting axis 0 of both operands — the MXU takes either
+    orientation — so the blocked cast can DMA block tables whose minor
+    dimension (5FC) is 128-aligned (Mosaic requires it for manual
+    HBM->VMEM slice copies; a [5FC, 14] minor-14 slice is rejected).'''
+    fc = t5Tc.shape[1] // 5
+    g = jax.lax.dot_general(t5Tc, q, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return (g[0:fc], g[fc:2 * fc], g[2 * fc:3 * fc], g[3 * fc:4 * fc],
+            g[4 * fc:5 * fc])
+
+
 def chunk_uvwta(t5c, q):
     '''[5FC, 14] @ [14, NR] -> U, V, W, B(=b0), An(= -a0) as [FC, NR].
 
@@ -217,7 +232,8 @@ def key_decode_t(key, fid_mask=KEY_FID_MASK):
 
 
 def cast_closest_chunks(t5, ext, q, avoid, interp=False,
-                        fid_mask=KEY_FID_MASK, n_attr=0):
+                        fid_mask=KEY_FID_MASK, n_attr=0,
+                        transposed=False):
     '''Closest hit + exact barycentrics (+ optionally interpolated
     corner attributes) for one ray tile.
 
@@ -233,23 +249,29 @@ def cast_closest_chunks(t5, ext, q, avoid, interp=False,
     (~7 ops/pair more) — at 968 faces that was ~5 ms/sample of pure
     VPU tail on the 512x512 benchmark.
 
-    t5: [5F, 14] chunk-major (pack_plucker); ext [3*n_attr + 15, F]
-    (pack_extract); q [14, NR]; avoid [*, NR] i32 face ids LOCAL to
-    this table (block-local callers subtract their base once per ray).
+    t5: [5F, 14] chunk-major (pack_plucker); ext [3*n_attr + 15 (or
+    more; trailing pad rows are ignored), F] (pack_extract); q [14, NR];
+    avoid [*, NR] i32 face ids LOCAL to this table (block-local callers
+    subtract their base once per ray).
+    transposed: t5 is [QR, 5F] and q [QR, NR] (see chunk_uvwta_T).
     Returns (key [1, NR] i32 — decode with key_decode_t / & fid_mask,
     == KEY_MISS on miss (decodes to NaN: every < test rejects it for
     free) — u, v [1, NR], att [n_attr, NR] or None).  Miss lanes carry
     garbage u/v/att; callers mask on the key.
     fid_mask: key_mask_for(f) when the table exceeds 2048 ids.'''
-    f = t5.shape[0] // 5
+    f = (t5.shape[1] if transposed else t5.shape[0]) // 5
     nc = -(-f // FACE_CHUNK)
     nr = q.shape[1]
 
     best_key = jnp.full((1, nr), KEY_MISS, jnp.int32)
     for ci in range(nc):
         fc = min(FACE_CHUNK, f - ci * FACE_CHUNK)
-        t5c = t5[5 * ci * FACE_CHUNK:5 * ci * FACE_CHUNK + 5 * fc]
-        U, V, W, B, An = chunk_uvwta(t5c, q)
+        if transposed:
+            t5c = t5[:, 5 * ci * FACE_CHUNK:5 * ci * FACE_CHUNK + 5 * fc]
+            U, V, W, B, An = chunk_uvwta_T(t5c, q)
+        else:
+            t5c = t5[5 * ci * FACE_CHUNK:5 * ci * FACE_CHUNK + 5 * fc]
+            U, V, W, B, An = chunk_uvwta(t5c, q)
         valid, fids = chunk_valid(U, V, W, B, An, ci * FACE_CHUNK, avoid)
         r = recip(B, interp, approx=True)
         # valid sign structure guarantees An * r >= 0; hits at or beyond
@@ -293,18 +315,22 @@ def cast_closest_chunks(t5, ext, q, avoid, interp=False,
     return best_key, u, v, att
 
 
-def cast_mint_chunks(t5, q, avoid, interp=False):
+def cast_mint_chunks(t5, q, avoid, interp=False, transposed=False):
     '''Nearest valid t per ray, [1, NR] f32 (INF = no hit), chunked like
     cast_closest_chunks.  The batched occlusion test: compare against
     the light distance wherever that value lives cheaply.'''
-    f = t5.shape[0] // 5
+    f = (t5.shape[1] if transposed else t5.shape[0]) // 5
     nc = -(-f // FACE_CHUNK)
     nr = q.shape[1]
     best = jnp.full((1, nr), INF)
     for ci in range(nc):
         fc = min(FACE_CHUNK, f - ci * FACE_CHUNK)
-        t5c = t5[5 * ci * FACE_CHUNK:5 * ci * FACE_CHUNK + 5 * fc]
-        U, V, W, B, An = chunk_uvwta(t5c, q)
+        if transposed:
+            t5c = t5[:, 5 * ci * FACE_CHUNK:5 * ci * FACE_CHUNK + 5 * fc]
+            U, V, W, B, An = chunk_uvwta_T(t5c, q)
+        else:
+            t5c = t5[5 * ci * FACE_CHUNK:5 * ci * FACE_CHUNK + 5 * fc]
+            U, V, W, B, An = chunk_uvwta(t5c, q)
         valid, _ = chunk_valid(U, V, W, B, An, ci * FACE_CHUNK, avoid)
         r = recip(B, interp, approx=True)
         # t >= INF is a miss (brute parity; see cast_closest_chunks)

@@ -293,10 +293,22 @@ def envlight_scene(env_res=(64, 128), **kw):
     return make_scene(verts, mtlids, materials=_materials(), **kw)
 
 
+def _sphere_uvs(tris, center):
+    '''Equirect per-corner UVs from sphere directions (texture-lookup
+    parameterization for the matball; seam triangles wrap, which is
+    fine for test/benchmark purposes).'''
+    d = tris - np.asarray(center)[None, None, :]
+    d /= np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+    u = 0.5 + np.arctan2(d[..., 2], d[..., 0]) / (2 * np.pi)
+    v = 0.5 - np.arcsin(np.clip(d[..., 1], -1, 1)) / np.pi
+    return np.stack([u, v], axis=-1).astype(np.float32)
+
+
 def matball(roughness_tex=None, **kw):
     '''Material-preview ball on a ground plane (reference exams/matball.py
     spirit): a sphere with a full Disney material, optionally driven by a
-    texture, lit by the default point light + environment.'''
+    texture (bound to roughness, with spherical UVs), lit by the default
+    point light + environment.'''
     ground = np.asarray(_quad([-6, 0, 6], [6, 0, 6], [6, 0, -6], [-6, 0, -6]),
                         np.float32)
     ball = _uv_sphere((0.0, 1.0, 0.0), 1.0, nu=48, nv=24)
@@ -306,6 +318,7 @@ def matball(roughness_tex=None, **kw):
     if roughness_tex is not None:
         images = [roughness_tex]
         mats[3][2] = (1.0, 0)  # roughness from texture 0
+        uvs = _sphere_uvs(ball, (0.0, 1.0, 0.0))
     verts = np.concatenate([
         _mesh_to_vertices(ground),
         _mesh_to_vertices(ball, normals=_sphere_smooth_normals(ball, (0.0, 1.0, 0.0)),
