@@ -46,7 +46,10 @@ from ptina_tpu.utils.vec import vspherical
 __all__ = ['MAX_FUSED_FACES', 'MAX_FUSED_TEX_BYTES', 'fused_eligible',
            'fused_trace']
 
-MAX_FUSED_FACES = 1024  # [F, TR] working set must fit VMEM
+MAX_FUSED_FACES = 2560  # per-chunk working set is bounded (FACE_CHUNK),
+# so this cap is about total VMEM tables + the unrolled chunk-loop's
+# compile time (40 chunks x 2 passes x 2 casts x depth); covers the
+# matball / envlight benchmark scenes (2216 faces)
 
 # Texture atlases up to this packed-f32 size ride inside the kernel
 # (VMEM-resident, fetched by the weight-matmul of _tex_bilinear_k); a
@@ -67,8 +70,9 @@ def fused_eligible(scene):
     no_tex = tex.shape[1] == 1 and tex.shape[2] == 1
     tex_ok = no_tex or (
         tex.size * 4 <= MAX_FUSED_TEX_BYTES
-        and len(scene.materials.textured) <= MAX_FUSED_TEX_BINDINGS
-        and not scene.world_textured)
+        and len(scene.materials.textured) <= MAX_FUSED_TEX_BINDINGS)
+    if scene.world_textured and no_tex:
+        tex_ok = False  # world_tex points at a texture that isn't loaded
     return (jax.default_backend() == 'tpu'
             and scene.tri_w2b.shape[0] <= MAX_FUSED_FACES
             and scene.accel != 'blocked'
@@ -180,24 +184,24 @@ def _lights_sample_k(lt, count, hitpos, su, sv, sz):
             jnp.where(empty, 0.0, pdf), vwhere(empty, 0.0, out_color))
 
 
-def _fetch_material_k(fac, mtlid):
-    '''Unrolled material-table fetch (same scheme as mtllib.fetch_material,
-    factors only).  fac: [14, M+1] — rows 0-2 basecolor rgb, 3-13 the 11
-    scalar params.  Returns RAW (basecolor V3, [11] scalar rows); the
-    caller applies texture modulation (if any) and disney_derive.'''
+def _fetch_material_k(fac, mtl_lanes, tr):
+    '''ONE-HOT MXU material-table fetch: a [M+1, NR] one-hot of the
+    per-ray material row drives one matmul against fac [14, M+1] (rows
+    0-2 basecolor rgb, 3-13 the 11 scalar params), delivering all 14
+    per-ray parameter rows at once.  The former per-material unrolled
+    select chain cost ~14 whole-tile selects per material per bounce —
+    fine at M=5, ~900 vector ops at the reference's max_materials=64
+    (ptina/things.py:15); the one-hot form is O(1) in M on the MXU.
+    mtl_lanes: [1, RG*TR] i32 (-1 = defaults row).  Returns RAW
+    (basecolor V3 [RG, TR], 11 scalar [RG, TR] rows); the caller
+    applies texture modulation (if any) and disney_derive.'''
     m1 = fac.shape[1]
-    row = jnp.where(mtlid < 0, m1 - 1, mtlid)
-    base = V3(jnp.broadcast_to(fac[0, m1 - 1], row.shape),
-              jnp.broadcast_to(fac[1, m1 - 1], row.shape),
-              jnp.broadcast_to(fac[2, m1 - 1], row.shape))
-    scal = [jnp.broadcast_to(fac[3 + p, m1 - 1], row.shape)
-            for p in range(11)]
-    for m in range(m1 - 1):
-        sel = row == m
-        base = vwhere(sel, V3(fac[0, m], fac[1, m], fac[2, m]), base)
-        for p in range(11):
-            scal[p] = jnp.where(sel, fac[3 + p, m], scal[p])
-    return base, scal
+    row = jnp.where(mtl_lanes < 0, m1 - 1, mtl_lanes)
+    rows_m = jax.lax.broadcasted_iota(jnp.int32, (m1, row.shape[1]), 0)
+    oh = (rows_m == row).astype(jnp.float32)
+    p14 = jnp.dot(fac, oh, preferred_element_type=jnp.float32)
+    r14 = _lanes_to_rows(p14, tr)
+    return V3(r14[0], r14[1], r14[2]), r14[3:]
 
 
 def _derive_material_k(base, scal):
@@ -349,10 +353,11 @@ def _tile_cast_mint(t5, ro, rd, avoid_lanes, ones1, zeros1, interp):
 
 def _path_kernel(rays_ref, u_ref, m_all_ref, attr_ref, fac_ref,
                  lt_ref, *refs,
-                 interp=False, zero=(), textured=(), tex_hw=(1, 1)):
-    # positional ref tail: [texp, texdim (textured scenes only)], cnt,
-    # wf inputs, then the r/g/b outputs
-    if textured:
+                 interp=False, zero=(), textured=(), tex_hw=(1, 1),
+                 env_tex=-1):
+    # positional ref tail: [texp, texdim (texture-using scenes only)],
+    # cnt, wf inputs, then the r/g/b outputs
+    if textured or env_tex >= 0:
         texp_ref, texdim_ref, cnt_ref, wf_ref, r_ref, g_ref, b_ref = refs
     else:
         cnt_ref, wf_ref, r_ref, g_ref, b_ref = refs
@@ -370,7 +375,7 @@ def _path_kernel(rays_ref, u_ref, m_all_ref, attr_ref, fac_ref,
     lt = lt_ref[:]
     count = cnt_ref[0, 0]
     world = V3(wf_ref[0, 0], wf_ref[0, 1], wf_ref[0, 2])
-    texp = texp_ref[:] if textured else None
+    texp = texp_ref[:] if (textured or env_tex >= 0) else None
 
     n_sh = ro.x.shape
     zero = jnp.zeros(n_sh)
@@ -401,7 +406,9 @@ def _path_kernel(rays_ref, u_ref, m_all_ref, attr_ref, fac_ref,
         hitpos = ro + rd * t
         sign = -vdot(rd, normal)
         normal = vwhere(sign < 0, -normal, normal)
-        base, scal = _fetch_material_k(fac, mtlid)
+        mtl_l = jnp.where(idx_lanes >= 0,
+                          jnp.round(a6_lanes[5:6]).astype(jnp.int32), -1)
+        base, scal = _fetch_material_k(fac, mtl_l, tr)
 
         # texture-modulated parameters: one in-VMEM bilinear fetch per
         # DISTINCT texture (lane-major), applied to every bound
@@ -435,9 +442,31 @@ def _path_kernel(rays_ref, u_ref, m_all_ref, attr_ref, fac_ref,
         result = result + vwhere(alive & lit_vis,
                                  throughput * lcolor * mis, 0.0)
 
-        # environment on miss (constant world only in the fused path)
+        # environment on miss: constant world, or the equirect texture
+        # fetched in-VMEM per sublane group (rows ARE lane-major [1, TR]
+        # per group; same weight-matmul fetch as materials; reference
+        # WorldLight.at semantics incl. the blender swizzle,
+        # ptina/light/world.py:22-29)
         miss = ~hit
-        result = result + vwhere(alive & miss, throughput * world, 0.0)
+        if env_tex >= 0:
+            H, W = tex_hw
+            nxw = texdim_ref[0, 2 * env_tex]
+            nyw = texdim_ref[0, 2 * env_tex + 1]
+            chans = [[], [], []]
+            for g in range(RG):
+                ex, ey, ez = rd.x[g:g + 1], rd.z[g:g + 1], -rd.y[g:g + 1]
+                s = jnp.arctan2(ez, ex) / jnp.pi * 0.5 + 0.5
+                tt = jnp.arctan2(ey, safe_sqrt(ex * ex + ez * ez)) \
+                    / jnp.pi + 0.5
+                ch = _tex_bilinear_k(texp, nxw, nyw, s, tt, W, H, env_tex)
+                for c in range(3):
+                    chans[c].append(ch[c])
+            wv = V3(world.x * jnp.concatenate(chans[0], axis=0),
+                    world.y * jnp.concatenate(chans[1], axis=0),
+                    world.z * jnp.concatenate(chans[2], axis=0))
+            result = result + vwhere(alive & miss, throughput * wv, 0.0)
+        else:
+            result = result + vwhere(alive & miss, throughput * world, 0.0)
         live = alive & ~miss
 
         # next-event estimation (reference path.py:48-56)
@@ -551,10 +580,11 @@ def fused_trace(scene, ro, rd, uniforms, interpret=False):
                                     memory_space=pltpu.VMEM)
 
     textured = scene.materials.textured
+    env_tex = scene.world_tex_id
     t_, h_, w_, _ = scene.textures.data.shape
     tex_in = []
     tex_specs = []
-    if textured:
+    if textured or env_tex >= 0:
         texp, texdim = _pack_textures(scene.textures)
         tex_in = [texp, texdim]
         tex_specs = [full(texp.shape), smem(texdim.shape)]
@@ -563,7 +593,8 @@ def fused_trace(scene, ro, rd, uniforms, interpret=False):
     rx, gx, bx = pl.pallas_call(
         functools.partial(_path_kernel, interp=interpret,
                           zero=scene.materials.zero,
-                          textured=textured, tex_hw=(h_, w_)),
+                          textured=textured, tex_hw=(h_, w_),
+                          env_tex=env_tex),
         grid=(nb,),
         in_specs=[blk(6 * RG), blk(dims * RG),
                   full((5 * f, 14)), full(attrs.shape), full(fac.shape),

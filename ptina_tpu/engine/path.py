@@ -98,9 +98,18 @@ def _bounce(scene, carry, u, model='disney'):
 
     live = alive & ~miss
 
-    # next-event estimation (path.py:48-56)
+    # next-event estimation (path.py:48-56).  Lanes with no surface hit
+    # get a PARKED degenerate shadow ray (origin 0, +z, tmax 0): their
+    # NEE is masked out below either way, but their hitpos = ro + INF*rd
+    # is at +-1e6, and one such lane in a ray tile blows the blocked
+    # cast's per-tile origin interval up to the whole world — measured
+    # on the 102k-face scene, the poisoned broad phase made EVERY block
+    # a candidate for EVERY tile from bounce 1 on.
     li = lights_sample(scene.lights, hitpos, u[0], u[1], u[2])
-    occ = cast_shadow(scene, hitpos, li['dir'], hit.index, li['dis'])
+    ro_sh = vwhere(hit.hit, hitpos, 0.0)
+    rd_sh = vwhere(hit.hit, li['dir'], V3.full_like(hitpos, (0, 0, 1)))
+    tmax_sh = jnp.where(hit.hit, li['dis'], 0.0)
+    occ = cast_shadow(scene, ro_sh, rd_sh, hit.index, tmax_sh)
     brdf_clr = bsdf_eval(model, material, normal, sign, -rd, li['dir'],
                          zero=scene.materials.zero)
     brdf_pdf = vavg3(brdf_clr)
@@ -110,13 +119,18 @@ def _bounce(scene, carry, u, model='disney'):
                             | (li['color'].z > 0.0))
     result = result + vwhere(nee_ok, throughput * nee, 0.0)
 
-    # BSDF bounce (path.py:58-62)
+    # BSDF bounce (path.py:58-62).  Dead lanes are PARKED on a
+    # degenerate ray at the origin pointing +z (their radiance is
+    # already final): stale wandering rays otherwise keep real
+    # coordinates and degrade the blocked cast's tile coherence for
+    # every remaining bounce.
     outdir, pdf, color = bsdf_sample(model, material, normal, sign, -rd,
                                      u[3], u[4], u[5],
                                      zero=scene.materials.zero)
     throughput = vwhere(live, throughput * color, throughput)
-    ro = vwhere(live, hitpos, ro)
-    rd = vwhere(live, outdir, rd)
+    park = V3.full_like(hitpos, (0.0, 0.0, 1.0))
+    ro = vwhere(live, hitpos, 0.0)
+    rd = vwhere(live, outdir, park)
     avoid = jnp.where(live, hit.index, avoid)
     last_brdf_pdf = jnp.where(live, pdf, last_brdf_pdf)
     alive = live \

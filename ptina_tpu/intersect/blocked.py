@@ -10,20 +10,23 @@ intersect/pallas_cast.py but adds a broad phase over face BLOCKS:
     partitioned into BLOCK_FACES-sized spatially-coherent blocks with
     per-block AABBs (scene.compute_block_bounds) — the "leaves" of a
     fixed-depth, implicit two-level tree.
-  * Ray sort (XLA, per cast): rays are permuted into coherent tiles by
-    origin Morton cell + direction octant (_coherence_order), so tile
-    interval bounds stay tight even for post-bounce wavefronts.
+  * Ray sort (XLA, per cast): rays are permuted into direction-octant
+    buckets by a stable counting sort (_coherence_order), fixing each
+    tile's direction signs while image order keeps origins coherent.
   * Broad phase (XLA, per cast): each TR-ray tile gets a conservative
     interval slab test against every block AABB — O(ntiles * nblocks)
     scalar work, no per-ray cost — and a compacted CANDIDATE block list
     sorted by a conservative entry-t lower bound.
   * Narrow phase (Pallas): ONE grid step per ray tile; candidates
-    advance in an in-kernel while_loop with double-buffered manual DMA
-    of the block tables from HBM, and the loop EXITS at the first
-    candidate whose entry bound no ray can improve on (BVH-style
-    pruning).  Each visited block runs the shared Plücker cast core
-    (intersect/plucker.py: chunked matmul + division-free packed-key
-    tail), accumulated into a running per-ray minimum.
+    advance in an in-kernel fori_loop reading the VMEM-resident block
+    tables by dynamic index.  Each visited block runs the shared
+    Plücker cast core (intersect/plucker.py: chunked matmul +
+    division-free packed-key tail), accumulated into a running per-ray
+    minimum.  (Two rejected designs, both measured slower: a
+    (tile, slot) grid pays ~1.3 us per SKIPPED Mosaic grid step — 137
+    ms/cast of pure overhead; an entry-bound early-out while_loop pays
+    a vector->scalar pipeline-drain sync per visit that costs as much
+    as the visits it saves.)
 
 Correctness does not depend on the culling quality: the candidate test
 is conservative (superset), and a degenerate block simply wastes one
@@ -51,7 +54,18 @@ from ptina_tpu.intersect.plucker import (
 __all__ = ['blocked_cast_closest', 'blocked_cast_shade',
            'blocked_cast_any', 'blocked_tables', 'BLOCKED_TR']
 
-BLOCKED_TR = 512   # rays per tile (lane axis)
+BLOCKED_TR = 512   # rays per tile (lane axis).  Measured trade-off on
+# the 102k-face scene (round 4): small tiles (128) give tighter frusta
+# and beat 512 on COHERENT wavefronts (primary-bounce chunks: 24-50 ms
+# vs ~90 ms), but deep-bounce diffuse wavefronts saturate the broad
+# phase no matter the tile size (nearly every block stays a candidate
+# once a tile's direction interval opens up), and there the per-visit
+# loop overhead dominates: whole-frame samples measured 3.9 s at
+# TR=128, 3.5 s at 256, 2.4 s at 512.  The attainable floor is per-RAY
+# candidates (mean 6.2 blocks/ray vs ~180/tile saturated) — reaching
+# it needs ray-to-block BINNING (segmented-scan compaction of
+# (ray, block) pairs processed block-major), not bigger/smaller tiles;
+# left as the next structural step.
 
 CAND_BITS = 12     # low bits of a packed candidate word = block id
 CAND_MASK = (1 << CAND_BITS) - 1  # caps scenes at 4096 blocks = 2^21
@@ -101,33 +115,35 @@ def blocked_tables(tri_w2b, tri_attrs, block_faces):
 
 
 def _coherence_order(ro, rd, block_bounds):
-    '''Sort permutation that packs SECONDARY rays into coherent tiles:
-    key = Morton-interleaved 8^3 origin cell over the scene bounds, then
-    the 3-bit direction octant.  After one bounce a wavefront's rays
-    point everywhere, so an unsorted tile's direction interval straddles
-    0 on every axis and the broad phase can cull nothing (round-3
-    verdict); sorted tiles keep both intervals tight, which is what
-    makes _candidate_blocks' feasibility AND entry bounds bite.
-    block_bounds supplies the scene AABB (padding blocks are inverted
-    and drop out of the min/max).'''
-    lo = jnp.min(block_bounds[:, 0:3], axis=0)
-    hi = jnp.max(block_bounds[:, 3:6], axis=0)
-    inv = 8.0 / jnp.maximum(hi - lo, 1e-12)
+    '''Permutation packing SECONDARY rays into coherent tiles: a STABLE
+    8-bucket counting sort on the direction octant.  After one bounce a
+    wavefront's rays point everywhere, so an unsorted tile's direction
+    interval straddles 0 on every axis and the broad phase can cull
+    nothing (round-3 verdict).  Octant bucketing fixes the direction
+    signs per tile; stability preserves the caller's IMAGE order inside
+    each bucket, and image-adjacent rays have adjacent surface hitpos —
+    so origin intervals stay tight for free, without origin-cell keys.
 
-    def cell(x, l, s):
-        q = jnp.clip(((x - l) * s).astype(jnp.int32), 0, 7)
-        # spread 3 bits to every 3rd position (tiny Morton expand)
-        return ((q & 1) | ((q & 2) << 2) | ((q & 4) << 4))
-
-    mx = cell(ro.x, lo[0], inv[0])
-    my = cell(ro.y, lo[1], inv[1])
-    mz = cell(ro.z, lo[2], inv[2])
-    morton = (mx << 2) | (my << 1) | mz
+    Implemented as cumsum ranking + ONE scatter — NOT jnp.argsort: a
+    full 262k-element XLA:TPU sort measured ~1 s (bitonic), three
+    orders of magnitude over the whole narrow phase; cumsums, gathers
+    and single scatters are all ~1-7 ms at this size (measured round
+    4).  Returns (order, inv): order gathers inputs into sorted form,
+    inv gathers results back (inv[i] = sorted slot of ray i).'''
+    n = rd.x.shape[0]
     octant = ((rd.x < 0).astype(jnp.int32) * 4
               + (rd.y < 0).astype(jnp.int32) * 2
               + (rd.z < 0).astype(jnp.int32))
-    key = (morton << 3) | octant
-    return jnp.argsort(key).astype(jnp.int32)
+    masks = octant[None, :] == jnp.arange(8, dtype=jnp.int32)[:, None]
+    csum = jnp.cumsum(masks.astype(jnp.int32), axis=1)     # [8, N]
+    rank = jnp.sum(jnp.where(masks, csum, 0), axis=0) - 1  # [N] stable
+    counts = csum[:, -1]
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+    inv = offsets[octant] + rank
+    order = jnp.zeros((n,), jnp.int32).at[inv].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return order, inv
 
 
 def _i32v(x):
@@ -135,21 +151,35 @@ def _i32v(x):
 
 
 def _gather_rays(order, ro, rd, avoid):
-    '''Apply the coherence permutation to the cast inputs.'''
-    return (V3(ro.x[order], ro.y[order], ro.z[order]),
-            V3(rd.x[order], rd.y[order], rd.z[order]),
-            avoid[order])
+    '''Apply the coherence permutation to the cast inputs — ONE batched
+    row-matrix gather (seven separate [N] gathers cost ~5 ms EACH on
+    XLA:TPU; one [7, N] take amortizes the random access).'''
+    m = jnp.stack([ro.x, ro.y, ro.z, rd.x, rd.y, rd.z,
+                   avoid.astype(jnp.float32)])[:, order]
+    return (V3(m[0], m[1], m[2]), V3(m[3], m[4], m[5]),
+            m[6].astype(jnp.int32))
 
 
-def _unsort_shade(order, hit, attrs):
-    '''Scatter sorted-order shade results back to caller order:
-    out[order[i]] = res[i].'''
-    def put(x):
-        return jnp.zeros_like(x).at[order].set(x)
-    hit = Hit(hit=put(hit.hit), t=put(hit.t), index=put(hit.index),
-              u=put(hit.u), v=put(hit.v))
-    attrs = jnp.zeros_like(attrs).at[:, order].set(attrs)
-    return hit, attrs
+def _unsort_shade(inv, hit, attrs):
+    '''Gather sorted-order shade results back to caller order
+    (inv[i] = sorted slot of ray i) — one batched gather.'''
+    m = jnp.concatenate([
+        jnp.stack([hit.t, hit.index.astype(jnp.float32), hit.u, hit.v]),
+        attrs])[:, inv]
+    index = m[1].astype(jnp.int32)
+    hit = Hit(hit=index >= 0, t=m[0], index=index, u=m[2], v=m[3])
+    return hit, m[4:]
+
+
+TILES_PER_CALL = 512  # the [tiles, nb] packed-candidate table is a
+# scalar-prefetch SMEM operand and SMEM is 1 MB; big frames span
+# several pallas_calls over tile chunks (identical kernels — XLA
+# compiles one and reuses it)
+
+
+def _tile_spans(nt):
+    return [(s, min(s + TILES_PER_CALL, nt))
+            for s in range(0, nt, TILES_PER_CALL)]
 
 
 def _tile_ray_bounds(o4, d4, tr):
@@ -238,28 +268,21 @@ def _candidate_blocks(block_bounds, olo, ohi, dlo, dhi):
 # ---------------------------------------------------------------------------
 
 
-def _traverse(ce_ref, i, cnt, visit, mx0):
-    '''Entry-ordered candidate traversal: for j in 0.. while the packed
-    entry bound of candidate j is below the running i32 threshold
-    (visit() returns the updated threshold).  The block tables are
-    VMEM-resident; visit() reads its block by dynamic index, so there
-    is no DMA machinery in the loop (an earlier double-buffered
-    HBM-DMA variant deadlocked the device; VMEM residency caps the
-    face count — see MAX_BLOCKED_VMEM_FACES — and a streaming variant
-    can reintroduce DMA for scenes beyond it).'''
-    def ent(j):
-        return ce_ref[i, jnp.minimum(j, ce_ref.shape[1] - 1)] \
-            & ~jnp.int32(CAND_MASK)
+def _traverse(ce_ref, i, cnt, visit):
+    '''Candidate traversal: fori over the tile's candidate count.  The
+    block tables are VMEM-resident; visit() reads its block by dynamic
+    index, so there is no DMA machinery in the loop (an earlier
+    double-buffered HBM-DMA variant deadlocked the device; VMEM
+    residency caps the face count — see MAX_BLOCKED_VMEM_FACES — and a
+    streaming variant can reintroduce DMA for scenes beyond it).
 
-    def cond(c):
-        j, mx = c
-        return (j < cnt) & (ent(j) < mx)
-
-    def body(c):
-        j, mx = c
-        return j + 1, visit(j)
-
-    jax.lax.while_loop(cond, body, (jnp.int32(0), mx0))
+    Deliberately NO data-dependent early exit: a while_loop gated on
+    the running per-ray minimum needs a vector->scalar reduce each
+    iteration, and that pipeline-draining sync cost as much as the
+    visits it saved (measured round 4: entry-ordered early-out gave
+    ZERO net speedup at TR=512).  Candidate counts are kept small by
+    ray-coherence sorting + the tile broad phase instead.'''
+    jax.lax.fori_loop(0, cnt, lambda j, _: (visit(j), 0)[1], 0)
 
 
 def _blocked_shade_kernel(ce_ref, cnt_ref, q_ref, avoid_ref,
@@ -297,9 +320,8 @@ def _blocked_shade_kernel(ce_ref, cnt_ref, q_ref, avoid_ref,
         u_ref[:] = jnp.where(better, uw, u_ref[:])
         v_ref[:] = jnp.where(better, vw, v_ref[:])
         out_ref[:] = jnp.where(better, att, out_ref[:])
-        return jnp.max(_i32v(t_ref[:]))
 
-    _traverse(ce_ref, i, cnt_ref[i], visit, jnp.int32(INF_BITS))
+    _traverse(ce_ref, i, cnt_ref[i], visit)
 
 
 def _blocked_mint_kernel(ce_ref, cnt_ref, q_ref, avoid_ref,
@@ -309,23 +331,14 @@ def _blocked_mint_kernel(ce_ref, cnt_ref, q_ref, avoid_ref,
     t_ref[:] = jnp.full(t_ref.shape, INF)
     b = t5_ref.shape[2] // 5
 
-    # occlusion early-out: a ray is DECIDED once t < tmax (occluded) or
-    # when no remaining candidate can reach below tmax.  The traversal
-    # threshold is max over undecided rays of tmax (decided rays
-    # contribute -1, below every non-negative i32 float pattern).
-    def thresh():
-        return jnp.max(jnp.where(t_ref[:] < tmax_ref[:], jnp.int32(-1),
-                                 _i32v(tmax_ref[:])))
-
     def visit(j):
         blk = ce_ref[i, j] & CAND_MASK
         tm = cast_mint_chunks(t5_ref[blk], q_ref[:],
                               avoid_ref[:] - blk * b, interp,
                               transposed=True)
         t_ref[:] = jnp.minimum(t_ref[:], tm)
-        return thresh()
 
-    _traverse(ce_ref, i, cnt_ref[i], visit, thresh())
+    _traverse(ce_ref, i, cnt_ref[i], visit)
 
 
 @functools.partial(jax.jit, static_argnames=('interpret', 'sort', 'n_attr'))
@@ -347,7 +360,7 @@ def blocked_cast_shade(ro, rd, t5b, attrsb, block_bounds, avoid,
     b = b5 // 5
     tr = BLOCKED_TR
     if sort:
-        order = _coherence_order(ro, rd, block_bounds)
+        order, inv = _coherence_order(ro, rd, block_bounds)
         ro, rd, avoid = _gather_rays(order, ro, rd, avoid)
     o4t, d4t, avoid2, n, ntotal = _prep(ro, rd, avoid, tr)
     q = jnp.pad(ray_features(o4t, d4t), ((0, T5_ROWS - 14), (0, 0)))
@@ -359,39 +372,46 @@ def blocked_cast_shade(ro, rd, t5b, attrsb, block_bounds, avoid,
                                      memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i, *_: (0, 0, 0),
                                       memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(nt,),
-        in_specs=[
-            lane(T5_ROWS), lane(1),
-            full(t5b.shape),     # whole table VMEM-resident
-            full(attrsb.shape),
-        ],
-        out_specs=[lane(1), lane(1), lane(1), lane(1), lane(n_attr)],
-    )
-    t, idx, u, v, attrs = pl.pallas_call(
-        functools.partial(_blocked_shade_kernel, interp=interpret,
-                          n_attr=n_attr),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((1, ntotal), jnp.float32),
-            jax.ShapeDtypeStruct((1, ntotal), jnp.int32),
-            jax.ShapeDtypeStruct((1, ntotal), jnp.float32),
-            jax.ShapeDtypeStruct((1, ntotal), jnp.float32),
-            jax.ShapeDtypeStruct((n_attr, ntotal), jnp.float32),
-        ],
-        interpret=interpret,
-        **({} if interpret else dict(
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=('arbitrary',),
-                vmem_limit_bytes=100 * 1024 * 1024))),
-    )(ce, cnt, q, avoid2, t5b, attrsb)
+
+    outs = []
+    for s, e in _tile_spans(nt):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2, grid=(e - s,),
+            in_specs=[
+                lane(T5_ROWS), lane(1),
+                full(t5b.shape),     # whole table VMEM-resident
+                full(attrsb.shape),
+            ],
+            out_specs=[lane(1), lane(1), lane(1), lane(1), lane(n_attr)],
+        )
+        span = (e - s) * tr
+        outs.append(pl.pallas_call(
+            functools.partial(_blocked_shade_kernel, interp=interpret,
+                              n_attr=n_attr),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((1, span), jnp.float32),
+                jax.ShapeDtypeStruct((1, span), jnp.int32),
+                jax.ShapeDtypeStruct((1, span), jnp.float32),
+                jax.ShapeDtypeStruct((1, span), jnp.float32),
+                jax.ShapeDtypeStruct((n_attr, span), jnp.float32),
+            ],
+            interpret=interpret,
+            **({} if interpret else dict(
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=('arbitrary',),
+                    vmem_limit_bytes=100 * 1024 * 1024))),
+        )(ce[s:e], cnt[s:e], q[:, s * tr:e * tr],
+          avoid2[:, s * tr:e * tr], t5b, attrsb))
+    t, idx, u, v, attrs = (jnp.concatenate(xs, axis=1)
+                           for xs in zip(*outs))
     index = idx[0, :n]  # misses keep the -1 init: a _BIG winner means
     # tmin == INF, so `better` never lets it through
     hit = Hit(hit=index >= 0, t=t[0, :n], index=index,
               u=u[0, :n], v=v[0, :n])
     attrs = attrs[:, :n]
     if sort:
-        hit, attrs = _unsort_shade(order, hit, attrs)
+        hit, attrs = _unsort_shade(inv, hit, attrs)
     return hit, attrs
 
 
@@ -412,7 +432,7 @@ def blocked_cast_any(ro, rd, t5b, block_bounds, avoid, tmax,
     nb, rows_t5, b5 = t5b.shape
     tr = BLOCKED_TR
     if sort:
-        order = _coherence_order(ro, rd, block_bounds)
+        order, inv = _coherence_order(ro, rd, block_bounds)
         ro, rd, avoid = _gather_rays(order, ro, rd, avoid)
         tmax = tmax[order]
     o4t, d4t, avoid2, n, ntotal = _prep(ro, rd, avoid, tr)
@@ -427,26 +447,30 @@ def blocked_cast_any(ro, rd, t5b, block_bounds, avoid, tmax,
                                      memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i, *_: (0, 0, 0),
                                       memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2, grid=(nt,),
-        in_specs=[
-            lane(T5_ROWS), lane(1), lane(1),
-            full(t5b.shape),     # whole table VMEM-resident
-        ],
-        out_specs=[lane(1)],
-    )
-    t, = pl.pallas_call(
-        functools.partial(_blocked_mint_kernel, interp=interpret),
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((1, ntotal), jnp.float32)],
-        interpret=interpret,
-        **({} if interpret else dict(
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=('arbitrary',),
-                vmem_limit_bytes=100 * 1024 * 1024))),
-    )(ce, cnt, q, avoid2, tmax2, t5b)
+    outs = []
+    for s, e in _tile_spans(nt):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2, grid=(e - s,),
+            in_specs=[
+                lane(T5_ROWS), lane(1), lane(1),
+                full(t5b.shape),     # whole table VMEM-resident
+            ],
+            out_specs=[lane(1)],
+        )
+        outs.append(pl.pallas_call(
+            functools.partial(_blocked_mint_kernel, interp=interpret),
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((1, (e - s) * tr), jnp.float32)],
+            interpret=interpret,
+            **({} if interpret else dict(
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=('arbitrary',),
+                    vmem_limit_bytes=100 * 1024 * 1024))),
+        )(ce[s:e], cnt[s:e], q[:, s * tr:e * tr],
+          avoid2[:, s * tr:e * tr], tmax2[:, s * tr:e * tr], t5b)[0])
+    t = jnp.concatenate(outs, axis=1)
     # miss = INF must not occlude even for tmax beyond the far clip
     occ = t[0, :n] < jnp.minimum(tmax2[0, :n], INF)
     if sort:
-        occ = jnp.zeros_like(occ).at[order].set(occ)
+        occ = occ[inv]
     return occ

@@ -159,11 +159,15 @@ class Scene:
     # part of the pytree structure, so changing it recompiles.
     accel: str = flax.struct.field(pytree_node=False, default='auto')
 
-    # STATIC mirror of `world_tex >= 0` (set by make_scene): lets
-    # trace-time routing (megakernel eligibility, world_at's equirect
-    # fetch) specialize on whether the environment is textured.
-    world_textured: bool = flax.struct.field(pytree_node=False,
-                                             default=False)
+    # STATIC mirror of `world_tex` (set by make_scene; -1 = constant
+    # environment): lets trace-time routing (megakernel eligibility and
+    # its unrolled in-VMEM equirect fetch, world_at's gather) specialize
+    # on whether/which texture lights the environment.
+    world_tex_id: int = flax.struct.field(pytree_node=False, default=-1)
+
+    @property
+    def world_textured(self):
+        return self.world_tex_id >= 0
 
 
 def precompute_tri_functionals(tri_pos):
@@ -453,5 +457,5 @@ def make_scene(vertices, mtlids=None, materials=None, images=None,
         t5b=t5b,
         attrsb=attrsb,
         accel=accel,
-        world_textured=bool(int(world_tex) >= 0),
+        world_tex_id=int(world_tex),
     )

@@ -86,6 +86,44 @@ def test_fused_textured_matches_wavefront():
     assert abs(a.mean() - b.mean()) < 1e-2 * max(b.mean(), 1e-6)
 
 
+def test_fused_env_texture_matches_wavefront():
+    '''The megakernel's in-VMEM equirect environment fetch must match
+    the wavefront's world_at (reference WorldLight.at semantics incl.
+    the blender swizzle): an open scene where most paths escape to a
+    textured sky.'''
+    from ptina_tpu.scene import make_scene
+
+    h, w = 16, 32
+    ty = np.linspace(0, 1, h, dtype=np.float32)[:, None, None]
+    tx = np.linspace(0, 1, w, dtype=np.float32)[None, :, None]
+    env = np.concatenate([0.2 + 0.8 * ty + 0 * tx,
+                          0.1 + 0.5 * tx + 0 * ty,
+                          0.6 - 0.4 * ty + 0 * tx], axis=2)
+    # one floor quad; everything else escapes to the sky
+    verts = np.zeros((6, 8), np.float32)
+    verts[:, 0:3] = [[-3, 0, 3], [3, 0, 3], [3, 0, -3],
+                     [-3, 0, 3], [3, 0, -3], [-3, 0, -3]]
+    verts[:, 4] = 1.0  # +y normals
+    scene = make_scene(verts, images=[env.astype(np.float32)],
+                       world_tex=0, world_fac=(1.0, 1.0, 1.0, 1.0))
+    assert scene.world_textured
+
+    res = 16
+    ro, rd, u = _primary(scene, res)
+    interpret = jax.default_backend() != 'tpu'
+    rad_f = fused_trace(scene, ro, rd, u, interpret=interpret)
+    rad_w = path_trace(scene, ro, rd, u)
+    a = np.stack([np.asarray(rad_f.x), np.asarray(rad_f.y),
+                  np.asarray(rad_f.z)])
+    b = np.stack([np.asarray(rad_w.x), np.asarray(rad_w.y),
+                  np.asarray(rad_w.z)])
+    assert np.isfinite(a).all()
+    d = np.abs(a - b) / np.maximum(np.abs(b), 0.05)
+    assert (d.max(axis=0) < 2e-2).mean() > 0.95, \
+        f'{(d.max(axis=0) >= 2e-2).mean():.3f} paths differ'
+    assert abs(a.mean() - b.mean()) < 1e-2 * max(b.mean(), 1e-6)
+
+
 def test_fused_texture_eligibility():
     '''Texture-size and binding-count caps gate the megakernel.'''
     on_tpu = jax.default_backend() == 'tpu'
