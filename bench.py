@@ -57,17 +57,20 @@ def _time_render(scene, res, spp, warm_spp=None, **render_kw):
     from ptina_tpu.film import new_film, film_to_image
     from ptina_tpu.engine.path import render
 
-    # warmup (compile) + readback, reference-style; time it to estimate
-    # throughput for the frame-count choice below
+    # warmup (compile) + readback, reference-style
     film = new_film(res, res)
-    t0 = time.perf_counter()
     film = render(scene, film, 0, spp=warm_spp or spp, **render_kw)
     _sync(film)
-    warm_elapsed = time.perf_counter() - t0
     img = np.asarray(film_to_image(film))
     assert not np.isnan(img).any(), 'nan in benchmark render'
 
-    est_sps = (warm_spp or spp) / warm_elapsed
+    # COMPILE-FREE probe frame to size the timed region (using the
+    # warmup's elapsed time here once under-estimated a 580-sps scene
+    # at 0.5 sps and collapsed the timed region to one RTT-bound frame)
+    t0 = time.perf_counter()
+    film = render(scene, film, 0, spp=spp, **render_kw)
+    _sync(film)
+    est_sps = spp / (time.perf_counter() - t0)
     frames = int(max(1, min(MAX_FRAMES, round(TARGET_TIMED_S * est_sps / spp))))
 
     # timed region: `frames` progressive 32-spp frames, one sync at the

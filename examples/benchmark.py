@@ -1,24 +1,27 @@
-'''Reference-style benchmark (reference exams/benchmark.py): cornell
-monkey-class scene, 512x512, warmup, then 32 timed samples.'''
-import time
+'''Benchmark example — DELEGATES to the root harness (bench.py) so
+contributors measure exactly what the driver measures (one warmup +
+self-tuned sustained timed region with a single amortized sync; see
+bench.py's module docstring for the methodology and how it maps onto
+the reference's exams/benchmark.py:25-38).
 
-import numpy as np
+    python examples/benchmark.py [scene] [spp]
+'''
+import os
+import sys
 
-from ptina_tpu.scenes import cornell_monkey
-from ptina_tpu.film import new_film, film_to_image
-from ptina_tpu.engine.path import render
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 
-scene = cornell_monkey()
-film = new_film(512, 512)
+import jax
 
-film = render(scene, film, 0, spp=1)
-np.asarray(film_to_image(film))
-film = new_film(512, 512)
+jax.config.update('jax_compilation_cache_dir', '/tmp/ptina_jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.3)
+jax.config.update('jax_persistent_cache_enable_xla_caches', 'all')
 
-t0 = time.time()
-nsamples = 32
-film = render(scene, film, 0, spp=nsamples)
-film.block_until_ready()
-img = np.asarray(film_to_image(film))
-title = f'{nsamples / (time.time() - t0):.03f} sps'
-print(title)
+import bench
+from ptina_tpu import scenes
+
+name = sys.argv[1] if len(sys.argv) > 1 else 'cornell_monkey'
+spp = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+scene = getattr(scenes, name)()
+sps = bench._time_render(scene, 512, spp)
+print(f'{name}: {sps:.3f} sps ({spp} spp frames, 512x512)')

@@ -184,24 +184,43 @@ def _lights_sample_k(lt, count, hitpos, su, sv, sz):
             jnp.where(empty, 0.0, pdf), vwhere(empty, 0.0, out_color))
 
 
-def _fetch_material_k(fac, mtl_lanes, tr):
-    '''ONE-HOT MXU material-table fetch: a [M+1, NR] one-hot of the
-    per-ray material row drives one matmul against fac [14, M+1] (rows
-    0-2 basecolor rgb, 3-13 the 11 scalar params), delivering all 14
-    per-ray parameter rows at once.  The former per-material unrolled
-    select chain cost ~14 whole-tile selects per material per bounce —
-    fine at M=5, ~900 vector ops at the reference's max_materials=64
-    (ptina/things.py:15); the one-hot form is O(1) in M on the MXU.
-    mtl_lanes: [1, RG*TR] i32 (-1 = defaults row).  Returns RAW
-    (basecolor V3 [RG, TR], 11 scalar [RG, TR] rows); the caller
-    applies texture modulation (if any) and disney_derive.'''
+ONEHOT_FETCH_MIN_MATERIALS = 9  # table size where the MXU form wins
+
+
+def _fetch_material_k(fac, mtlid, mtl_lanes, tr):
+    '''Material-table fetch, strategy picked by TABLE SIZE at trace
+    time.  Small tables (the common case) use the unrolled select
+    chain on [RG, TR] tiles — ~14 whole-tile selects per material per
+    bounce, and no relayouts.  Big tables switch to a ONE-HOT MXU
+    matmul ([14, M+1] @ one-hot [M+1, NR]), which is O(1) in M where
+    the unrolled chain would cost ~900 vector ops at the reference's
+    max_materials=64 (ptina/things.py:15); its price is 14 lane->row
+    relayouts, which measurably slowed the M=5 cornell kernel when
+    used unconditionally.
+    mtlid: [RG, TR] i32 rows; mtl_lanes: the same ids lane-major
+    [1, RG*TR] (-1 = defaults row in both).  Returns RAW (basecolor V3
+    [RG, TR], 11 scalar [RG, TR] rows); the caller applies texture
+    modulation (if any) and disney_derive.'''
     m1 = fac.shape[1]
-    row = jnp.where(mtl_lanes < 0, m1 - 1, mtl_lanes)
-    rows_m = jax.lax.broadcasted_iota(jnp.int32, (m1, row.shape[1]), 0)
-    oh = (rows_m == row).astype(jnp.float32)
-    p14 = jnp.dot(fac, oh, preferred_element_type=jnp.float32)
-    r14 = _lanes_to_rows(p14, tr)
-    return V3(r14[0], r14[1], r14[2]), r14[3:]
+    if m1 >= ONEHOT_FETCH_MIN_MATERIALS:
+        row = jnp.where(mtl_lanes < 0, m1 - 1, mtl_lanes)
+        rows_m = jax.lax.broadcasted_iota(jnp.int32, (m1, row.shape[1]), 0)
+        oh = (rows_m == row).astype(jnp.float32)
+        p14 = jnp.dot(fac, oh, preferred_element_type=jnp.float32)
+        r14 = _lanes_to_rows(p14, tr)
+        return V3(r14[0], r14[1], r14[2]), r14[3:]
+    row = jnp.where(mtlid < 0, m1 - 1, mtlid)
+    base = V3(jnp.broadcast_to(fac[0, m1 - 1], row.shape),
+              jnp.broadcast_to(fac[1, m1 - 1], row.shape),
+              jnp.broadcast_to(fac[2, m1 - 1], row.shape))
+    scal = [jnp.broadcast_to(fac[3 + p, m1 - 1], row.shape)
+            for p in range(11)]
+    for m in range(m1 - 1):
+        sel = row == m
+        base = vwhere(sel, V3(fac[0, m], fac[1, m], fac[2, m]), base)
+        for p in range(11):
+            scal[p] = jnp.where(sel, fac[3 + p, m], scal[p])
+    return base, scal
 
 
 def _derive_material_k(base, scal):
@@ -227,6 +246,22 @@ def _derive_material_k(base, scal):
 # plus one small matmul — ~5 M ops at 64x64/4096, a few percent of a
 # bounce, versus the wavefront path's per-ray HBM gathers.
 # ---------------------------------------------------------------------------
+
+def _atan2_k(y, x):
+    '''atan2 for the in-kernel equirect mapping (Mosaic has no atan2
+    lowering).  Octant range reduction + the classic 4-term odd
+    minimax polynomial on [0, 1] (|err| ~ 1e-4 rad ~ 2e-3 texel at a
+    128-wide environment map).'''
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    t = jnp.minimum(ax, ay) / jnp.maximum(jnp.maximum(ax, ay), 1e-30)
+    t2 = t * t
+    r = t * (0.9998660 + t2 * (-0.3302995
+                               + t2 * (0.1801410 + t2 * (-0.0851330))))
+    r = jnp.where(ay > ax, 1.5707964 - r, r)
+    r = jnp.where(x < 0.0, 3.1415927 - r, r)
+    return jnp.where(y < 0.0, -r, r)
+
 
 def _tex_bilinear_k(texp, nx, ny, s, t, W, H, theta):
     '''Bilinear wrap-around fetch of texture `theta` for one lane-major
@@ -408,7 +443,7 @@ def _path_kernel(rays_ref, u_ref, m_all_ref, attr_ref, fac_ref,
         normal = vwhere(sign < 0, -normal, normal)
         mtl_l = jnp.where(idx_lanes >= 0,
                           jnp.round(a6_lanes[5:6]).astype(jnp.int32), -1)
-        base, scal = _fetch_material_k(fac, mtl_l, tr)
+        base, scal = _fetch_material_k(fac, mtlid, mtl_l, tr)
 
         # texture-modulated parameters: one in-VMEM bilinear fetch per
         # DISTINCT texture (lane-major), applied to every bound
@@ -455,8 +490,8 @@ def _path_kernel(rays_ref, u_ref, m_all_ref, attr_ref, fac_ref,
             chans = [[], [], []]
             for g in range(RG):
                 ex, ey, ez = rd.x[g:g + 1], rd.z[g:g + 1], -rd.y[g:g + 1]
-                s = jnp.arctan2(ez, ex) / jnp.pi * 0.5 + 0.5
-                tt = jnp.arctan2(ey, safe_sqrt(ex * ex + ez * ez)) \
+                s = _atan2_k(ez, ex) / jnp.pi * 0.5 + 0.5
+                tt = _atan2_k(ey, safe_sqrt(ex * ex + ez * ez)) \
                     / jnp.pi + 0.5
                 ch = _tex_bilinear_k(texp, nxw, nyw, s, tt, W, H, env_tex)
                 for c in range(3):

@@ -47,7 +47,7 @@ def apply(variant):
         F._lights_hit_k = fake_lh
         F._lights_sample_k = fake_ls
     if variant in ('no_fetch', 'shell'):
-        def fake_fm(fac, mtl_lanes, tr):
+        def fake_fm(fac, mtlid, mtl_lanes, tr):
             sh = (mtl_lanes.shape[1] // tr, tr)
             m1 = fac.shape[1]
             base = V3(jnp.full(sh, 0.8), jnp.full(sh, 0.8), jnp.full(sh, 0.8))
