@@ -28,11 +28,11 @@ def apply(variant):
     from ptina_tpu.utils.vec import V3
 
     if variant in ('no_sample', 'shell'):
-        def fake_sample(p, normal, sign, indir, su, sv, sw):
+        def fake_sample(p, normal, sign, indir, su, sv, sw, zero=None):
             return normal, jnp.ones_like(su), p['basecolor']
         F.disney_sample = fake_sample
     if variant in ('no_eval', 'shell'):
-        def fake_eval(p, normal, sign, indir, outdir):
+        def fake_eval(p, normal, sign, indir, outdir, zero=None):
             t = jnp.full_like(sign, 0.1)
             return V3(t, t, t)
         F.disney_eval = fake_eval
