@@ -247,6 +247,47 @@ def _derive_material_k(base, scal):
 # bounce, versus the wavefront path's per-ray HBM gathers.
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# in-kernel uniforms.  The integrator's random contract is
+# u[d] = mod(sobol_point[d] + rotation(pixel, d), 1)  (sampling/sobol.py):
+# the Sobol point is a per-SAMPLE [dims] vector (rides in SMEM) and the
+# rotation a wang-hash of (pixel_hash, d).  Generating the rows inside
+# the kernel replaces a [32, N] HBM round trip + block relayout
+# (~33 MB/sample each way) with ~10 integer ops per row — measured
+# ~0.2 ms/sample back at 512x512 (586 -> ~650 sps class).
+# ---------------------------------------------------------------------------
+
+_GOLD = 0x9e3779b9
+
+
+def _wanghash_k(x):
+    '''sampling.wanghash on i32 lanes (Mosaic path): u32 wrapping
+    add/mul match i32 two's complement; shifts must be LOGICAL.'''
+    sr = jax.lax.shift_right_logical
+    x = (x ^ 61) ^ sr(x, 16)
+    x = x * 9
+    x = x ^ sr(x, 4)
+    x = x * jnp.int32(0x27d4eb2d)
+    x = x ^ sr(x, 15)
+    return x
+
+
+def _u32f(x):
+    '''Bit pattern (i32) -> float in [0, 1) as if unsigned / 2^32.'''
+    f = x.astype(jnp.float32)
+    f = jnp.where(f < 0.0, f + 4294967296.0, f)
+    return f * jnp.float32(1.0 / 4294967296.0)
+
+
+def _urow_k(pt_ref, base, d):
+    '''Uniform row d for a [RG, TR] tile of pixel hashes `base`
+    (== sampling.wanghash2(i, j) bit pattern).'''
+    dg = (d * _GOLD) & 0xFFFFFFFF
+    rot = _u32f(_wanghash_k(base + jnp.int32(dg - 0x100000000 if dg >= 0x80000000 else dg)))
+    u = pt_ref[0, d] + rot
+    return jnp.where(u >= 1.0, u - 1.0, u)
+
+
 def _atan2_k(y, x):
     '''atan2 for the in-kernel equirect mapping (Mosaic has no atan2
     lowering).  Octant range reduction + the classic 4-term odd
@@ -386,7 +427,7 @@ def _tile_cast_mint(t5, ro, rd, avoid_lanes, ones1, zeros1, interp):
     return _lanes_to_rows(tmin, tr)[0]
 
 
-def _path_kernel(rays_ref, u_ref, m_all_ref, attr_ref, fac_ref,
+def _path_kernel(rays_ref, base_ref, pt_ref, m_all_ref, attr_ref, fac_ref,
                  lt_ref, *refs,
                  interp=False, zero=(), textured=(), tex_hw=(1, 1),
                  env_tex=-1):
@@ -401,9 +442,9 @@ def _path_kernel(rays_ref, u_ref, m_all_ref, attr_ref, fac_ref,
     rr = rays_ref[:].reshape(6, RG, tr)
     ro = V3(rr[0], rr[1], rr[2])
     rd = V3(rr[3], rr[4], rr[5])
-    dims = u_ref.shape[0] // RG
-    depth = (dims - 2) // 6  # bounce cap rides in the uniform rows
-    uu = u_ref[:].reshape(dims, RG, tr)
+    pbase = base_ref[:]  # per-pixel rotation hash rows
+    dims = pt_ref.shape[1]
+    depth = (dims - 2) // 6  # bounce cap rides in the Sobol point rows
     t5 = m_all_ref[:]
     attrs = attr_ref[:]
     fac = fac_ref[:]
@@ -430,7 +471,7 @@ def _path_kernel(rays_ref, u_ref, m_all_ref, attr_ref, fac_ref,
     alive = jnp.ones(n_sh, bool)
 
     for b in range(depth):
-        u = uu[2 + 6 * b:2 + 6 * (b + 1)]
+        u = [_urow_k(pt_ref, pbase, 2 + 6 * b + r) for r in range(6)]
         rd = vnormalize(rd)
 
         t, index, idx_lanes, a6, a6_lanes = _tile_cast_closest(
@@ -574,31 +615,35 @@ def _pack_textures(atlas):
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
-def fused_trace(scene, ro, rd, uniforms, interpret=False):
+def fused_trace(scene, ro, rd, pt, base, interpret=False):
     '''Trace [N] primary rays through the full path in one Pallas kernel.
-    Same contract as engine.path.path_trace: ro/rd V3 rows, uniforms
-    [2 + 6 * depth, N] (the row count sets the bounce cap); returns
-    radiance V3.'''
+    ro/rd: V3 rows.  The random stream is GENERATED IN-KERNEL from the
+    per-sample Sobol point `pt` [2 + 6 * depth] (its row count sets the
+    bounce cap) and the per-pixel rotation hash `base` [N] i32
+    (sampling.wanghash2 bit pattern) — see _urow_k; this replaces a
+    [dims, N] uniforms round trip through HBM.  Radiance parity with
+    path_trace(uniforms=sample_dims(...)) holds to f32 rounding of the
+    rotation (tests/test_fused.py).'''
     f = scene.tri_w2b.shape[0]
     assert f <= MAX_FUSED_FACES
-    dims = uniforms.shape[0]
+    dims = pt.shape[0]
     tr = _tr_for(f)
     n = ro.x.shape[0]
     block = RG * tr
     npad = -n % block
-    one = jnp.ones_like(ro.x)
     rays = jnp.stack([ro.x, ro.y, ro.z, rd.x, rd.y, rd.z])  # [6, N]
-    u = uniforms
+    baser = base.astype(jnp.int32)[None, :]
     if npad:
         rays = jnp.pad(rays, ((0, 0), (0, npad)))
-        u = jnp.pad(u, ((0, 0), (0, npad)))
+        baser = jnp.pad(baser, ((0, 0), (0, npad)))
     nb = (n + npad) // block
 
-    # per-block row-major layout: block i's rows are [6|dims channels x RG]
+    # per-block row-major layout: block i's rows are [6|1 channels x RG]
     rays = rays.reshape(6, nb, RG, tr).transpose(1, 0, 2, 3) \
                .reshape(nb * 6 * RG, tr)
-    u = u.reshape(dims, nb, RG, tr).transpose(1, 0, 2, 3) \
-         .reshape(nb * dims * RG, tr)
+    baser = baser.reshape(1, nb, RG, tr).transpose(1, 0, 2, 3) \
+                 .reshape(nb * RG, tr)
+    ptr = pt.reshape(1, dims)
 
     t5 = pack_plucker(scene.tri_w2b)
     attrs = pack_extract(scene.tri_w2b, scene.tri_attrs)
@@ -631,7 +676,7 @@ def fused_trace(scene, ro, rd, uniforms, interpret=False):
                           textured=textured, tex_hw=(h_, w_),
                           env_tex=env_tex),
         grid=(nb,),
-        in_specs=[blk(6 * RG), blk(dims * RG),
+        in_specs=[blk(6 * RG), blk(RG), smem((1, dims)),
                   full((5 * f, 14)), full(attrs.shape), full(fac.shape),
                   full(lt.shape)] + tex_specs
                  + [smem((1, 1)), smem((1, 4))],
@@ -645,5 +690,5 @@ def fused_trace(scene, ro, rd, uniforms, interpret=False):
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=('parallel',),
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(rays, u, t5, attrs, fac, lt, *tex_in, cnt, wf)
+    )(rays, baser, ptr, t5, attrs, fac, lt, *tex_in, cnt, wf)
     return V3(rx.reshape(-1)[:n], gx.reshape(-1)[:n], bx.reshape(-1)[:n])

@@ -206,18 +206,31 @@ def render_sample(scene, film, sample_index, x0=0, y0=0, full_res=None,
     _, _, nx, ny = film.shape
     fnx, fny = full_res if full_res is not None else (nx, ny)
     ii, jj = pixel_grid(nx, ny, x0, y0)
-    u = sample_dims(sample_index, ii, jj, 2 + 6 * max_depth, rot=rot)
-
-    x = (ii.astype(jnp.float32) + u[0]) / fnx * 2.0 - 1.0
-    y = (jj.astype(jnp.float32) + u[1]) / fny * 2.0 - 1.0
-    ro, rd = camera_rays(scene.cam_v2w, x, y)
+    dims = 2 + 6 * max_depth
 
     if model == 'disney' and (fused is None or fused):
         from ptina_tpu.engine.fused import fused_eligible, fused_trace
         if fused or fused_eligible(scene):
-            rad = fused_trace(scene, ro, rd, u)
+            # megakernel path: the bounce uniforms are generated
+            # IN-KERNEL from (sobol point, pixel hash) — only the two
+            # lens dims are materialized here for the camera jitter
+            from ptina_tpu.sampling import wanghash2
+            from ptina_tpu.sampling.sobol import sobol_block, pixel_rotation
+            base = wanghash2(ii, jj)
+            pt = sobol_block(sample_index, dims)
+            rot2 = rot[:2] if rot is not None else pixel_rotation(ii, jj, 2)
+            u01 = jnp.mod(pt[:2, None] + rot2, 1.0)
+            x = (ii.astype(jnp.float32) + u01[0]) / fnx * 2.0 - 1.0
+            y = (jj.astype(jnp.float32) + u01[1]) / fny * 2.0 - 1.0
+            ro, rd = camera_rays(scene.cam_v2w, x, y)
+            rad = fused_trace(scene, ro, rd, pt, base)
             return film_add(film, 0, rad.x, rad.y, rad.z,
                             jnp.ones_like(rad.x))
+
+    u = sample_dims(sample_index, ii, jj, dims, rot=rot)
+    x = (ii.astype(jnp.float32) + u[0]) / fnx * 2.0 - 1.0
+    y = (jj.astype(jnp.float32) + u[1]) / fny * 2.0 - 1.0
+    ro, rd = camera_rays(scene.cam_v2w, x, y)
     rad = path_trace(scene, ro, rd, u, model)
     return film_add(film, 0, rad.x, rad.y, rad.z, jnp.ones_like(rad.x))
 

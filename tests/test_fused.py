@@ -13,26 +13,32 @@ import jax.numpy as jnp
 from ptina_tpu.scenes import cornell_box
 from ptina_tpu.engine.path import path_trace, PATH_DIMS
 from ptina_tpu.engine.fused import fused_trace, fused_eligible
-from ptina_tpu.sampling.sobol import sample_dims
+from ptina_tpu.sampling import wanghash2
+from ptina_tpu.sampling.sobol import sample_dims, sobol_block
 from ptina_tpu.camera import camera_rays
 
 
 def _primary(scene, res):
+    '''Primary rays plus BOTH random-stream forms: the wavefront's
+    materialized uniforms and the megakernel's (sobol point, pixel
+    hash) pair that generates the same stream in-kernel.'''
     ii, jj = jnp.meshgrid(jnp.arange(res), jnp.arange(res), indexing='ij')
     ii, jj = ii.reshape(-1), jj.reshape(-1)
     u = sample_dims(0, ii, jj, PATH_DIMS)
     x = (ii.astype(jnp.float32) + u[0]) / res * 2.0 - 1.0
     y = (jj.astype(jnp.float32) + u[1]) / res * 2.0 - 1.0
     ro, rd = camera_rays(scene.cam_v2w, x, y)
-    return ro, rd, u
+    pt = sobol_block(0, PATH_DIMS)
+    base = wanghash2(ii, jj)
+    return ro, rd, u, pt, base
 
 
 def test_fused_matches_wavefront():
     scene = cornell_box()
     res = 16
-    ro, rd, u = _primary(scene, res)
+    ro, rd, u, pt, base = _primary(scene, res)
     interpret = jax.default_backend() != 'tpu'
-    rad_f = fused_trace(scene, ro, rd, u, interpret=interpret)
+    rad_f = fused_trace(scene, ro, rd, pt, base, interpret=interpret)
     rad_w = path_trace(scene, ro, rd, u)
     a = np.stack([np.asarray(rad_f.x), np.asarray(rad_f.y),
                   np.asarray(rad_f.z)])
@@ -69,9 +75,9 @@ def test_fused_textured_matches_wavefront():
     scene = cornell_box(textured_image=_bench_texture())
     assert scene.materials.textured == ((0, 0, 0),)
     res = 16
-    ro, rd, u = _primary(scene, res)
+    ro, rd, u, pt, base = _primary(scene, res)
     interpret = jax.default_backend() != 'tpu'
-    rad_f = fused_trace(scene, ro, rd, u, interpret=interpret)
+    rad_f = fused_trace(scene, ro, rd, pt, base, interpret=interpret)
     rad_w = path_trace(scene, ro, rd, u)
     a = np.stack([np.asarray(rad_f.x), np.asarray(rad_f.y),
                   np.asarray(rad_f.z)])
@@ -109,9 +115,9 @@ def test_fused_env_texture_matches_wavefront():
     assert scene.world_textured
 
     res = 16
-    ro, rd, u = _primary(scene, res)
+    ro, rd, u, pt, base = _primary(scene, res)
     interpret = jax.default_backend() != 'tpu'
-    rad_f = fused_trace(scene, ro, rd, u, interpret=interpret)
+    rad_f = fused_trace(scene, ro, rd, pt, base, interpret=interpret)
     rad_w = path_trace(scene, ro, rd, u)
     a = np.stack([np.asarray(rad_f.x), np.asarray(rad_f.y),
                   np.asarray(rad_f.z)])

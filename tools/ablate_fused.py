@@ -44,9 +44,13 @@ def time_variant(name, scene):
         x = (ii.astype(jnp.float32) + u[0]) / RES * 2 - 1
         y = (jj.astype(jnp.float32) + u[1]) / RES * 2 - 1
         ro, rd = camera_rays(scene.cam_v2w, x, y)
+        from ptina_tpu.sampling import wanghash2
+        from ptina_tpu.sampling.sobol import sobol_block
+        pt = sobol_block(s, PATH_DIMS)
+        base = wanghash2(ii, jj)
         # the UNJITTED body: fused_trace's own jit caches its jaxpr across
         # outer traces, so monkeypatched stages would never re-trace
-        rad = F.fused_trace.__wrapped__(scene, ro, rd, u)
+        rad = F.fused_trace.__wrapped__(scene, ro, rd, pt, base)
         return jnp.sum(rad.x) + jnp.sum(rad.y) + jnp.sum(rad.z)
 
     float(step(jnp.int32(0)))  # warmup/compile
