@@ -103,11 +103,14 @@ def _lt_v3(lt, row, l):
 from ptina_tpu.lights import ray_sphere as _sphere_t, ray_rect as _rect_t
 
 
-def _lights_hit_k(lt, count, ro, rd):
+def _lights_hit_k(lt, count, ro, rd, kinds=('point', 'area')):
     # NOTE all masks are built as [1, TR] VECTORS (scalar bools broadcast
     # into vector-bool selects lower to an i8->i1 truncation Mosaic
     # rejects; comparing a broadcast f32/i32 row instead stays on i1).
+    # `kinds` statically drops absent light geometry (scene.Lights.kinds).
     L = lt.shape[1]
+    has_pt = 'point' in kinds
+    has_ar = 'area' in kinds
     n_sh = ro.x.shape
     found = jnp.zeros(n_sh, bool)
     dis = jnp.full(n_sh, INF)
@@ -121,12 +124,20 @@ def _lights_hit_k(lt, count, ro, rd):
         is_area = typv == float(LIGHT_AREA)
         size = lt[15, l]
         pos = _lt_v3(lt, 0, l)
-        t_sph = _sphere_t(ro, rd, pos, size * size)
-        dirx = _lt_v3(lt, 6, l) * size
-        diry = _lt_v3(lt, 9, l) * size
-        hit_rect, t_rect = _rect_t(ro, rd, pos, dirx, diry)
-        t = jnp.where(is_point, t_sph,
-                      jnp.where(is_area & hit_rect, t_rect, 0.0))
+        t_sph = _sphere_t(ro, rd, pos, size * size) if has_pt else 0.0
+        if has_ar:
+            dirx = _lt_v3(lt, 6, l) * size
+            diry = _lt_v3(lt, 9, l) * size
+            hit_rect, t_rect = _rect_t(ro, rd, pos, dirx, diry)
+            t_ar = jnp.where(is_area & hit_rect, t_rect, 0.0)
+        else:
+            t_ar = 0.0
+        if has_pt and has_ar:
+            t = jnp.where(is_point, t_sph, t_ar)
+        elif has_pt:
+            t = jnp.where(is_point, t_sph, 0.0)
+        else:
+            t = t_ar
         area = jnp.where(is_point, jnp.pi * size * size, 4.0 * size * size)
         # nearest light wins (dis starts INF) — see lights.lights_hit
         valid = live & (t > 0.0) & (t < dis)
@@ -137,8 +148,10 @@ def _lights_hit_k(lt, count, ro, rd):
     return found, dis, pdf, color
 
 
-def _lights_sample_k(lt, count, hitpos, su, sv, sz):
+def _lights_sample_k(lt, count, hitpos, su, sv, sz, kinds=('point', 'area')):
     L = lt.shape[1]
+    has_pt = 'point' in kinds
+    has_ar = 'area' in kinds
     n_sh = hitpos.x.shape
     cnt = jnp.maximum(count, 1)
     idx = jnp.clip((sz * cnt.astype(su.dtype)).astype(jnp.int32), 0, cnt - 1)
@@ -148,7 +161,8 @@ def _lights_sample_k(lt, count, hitpos, su, sv, sz):
     area = zero
     color = V3(zero, zero, zero)
     is_area_sel = jnp.zeros(n_sh, bool)
-    disp_pt = vspherical(su, sv)
+    # point-light sphere trig skipped when no point light exists
+    disp_pt = vspherical(su, sv) if has_pt else None
     lx = su * 2.0 - 1.0
     ly = sv * 2.0 - 1.0
     for l in range(L):
@@ -157,12 +171,19 @@ def _lights_sample_k(lt, count, hitpos, su, sv, sz):
         pos = _lt_v3(lt, 0, l)
         # vector mask (see _lights_hit_k note on scalar bools)
         is_area = jnp.full(n_sh, lt[16, l]) == float(LIGHT_AREA)
-        lp_pt = pos + disp_pt * size
+        lp_pt = pos + disp_pt * size if has_pt else None
         ax_x = _lt_v3(lt, 6, l)
         ax_y = _lt_v3(lt, 9, l)
         ax_z = _lt_v3(lt, 12, l)
-        lp_ar = pos + (ax_x * lx + ax_y * ly) * size
-        lp = vwhere(is_area, lp_ar, lp_pt)
+        lp_ar = pos + (ax_x * lx + ax_y * ly) * size if has_ar else None
+        if has_pt and has_ar:
+            lp = vwhere(is_area, lp_ar, lp_pt)
+        elif has_ar:
+            lp = lp_ar
+        elif has_pt:
+            lp = lp_pt
+        else:
+            lp = pos + V3(zero, zero, zero)
         ar = jnp.where(is_area, 4.0 * size * size, jnp.pi * size * size)
         nr = vwhere(is_area, ax_z, 0.0)
         litpos = vwhere(sel, lp, litpos)
@@ -423,14 +444,15 @@ def _tile_cast_mint(t5, ro, rd, avoid_lanes, ones1, zeros1, interp):
     (INF = clear).  Shadow test: occluded iff result < light distance.'''
     tr = ro.x.shape[1]
     q = _tile_q(ro, rd, ones1, zeros1)
-    tmin = cast_mint_chunks(t5, q, avoid_lanes, interp)
+    # farclip=False: the caller compares against finite light distances
+    tmin = cast_mint_chunks(t5, q, avoid_lanes, interp, farclip=False)
     return _lanes_to_rows(tmin, tr)[0]
 
 
 def _path_kernel(rays_ref, base_ref, pt_ref, m_all_ref, attr_ref, fac_ref,
                  lt_ref, *refs,
                  interp=False, zero=(), textured=(), tex_hw=(1, 1),
-                 env_tex=-1):
+                 env_tex=-1, lkinds=('point', 'area')):
     # positional ref tail: [texp, texdim (texture-using scenes only)],
     # cnt, wf inputs, then the r/g/b outputs
     if textured or env_tex >= 0:
@@ -512,7 +534,8 @@ def _path_kernel(rays_ref, base_ref, pt_ref, m_all_ref, attr_ref, fac_ref,
         material = _derive_material_k(base, scal)
 
         # direct light hit with MIS (reference path.py:31-35)
-        lhit, ldis, lpdf, lcolor = _lights_hit_k(lt, count, ro, rd)
+        lhit, ldis, lpdf, lcolor = _lights_hit_k(lt, count, ro, rd,
+                                                  kinds=lkinds)
         lit_vis = lhit & (~hit | (ldis < t))
         mis = power_heuristic(last_brdf_pdf, lpdf)
         result = result + vwhere(alive & lit_vis,
@@ -547,7 +570,7 @@ def _path_kernel(rays_ref, base_ref, pt_ref, m_all_ref, attr_ref, fac_ref,
 
         # next-event estimation (reference path.py:48-56)
         li_dis, li_dir, li_pdf, li_color = _lights_sample_k(
-            lt, count, hitpos, u[0], u[1], u[2])
+            lt, count, hitpos, u[0], u[1], u[2], kinds=lkinds)
         occ = _tile_cast_mint(t5, hitpos, li_dir, idx_lanes,
                               ones1, zeros1, interp) < li_dis
         brdf_clr = disney_eval(material, normal, sign, -1.0 * rd, li_dir,
@@ -674,7 +697,7 @@ def fused_trace(scene, ro, rd, pt, base, interpret=False):
         functools.partial(_path_kernel, interp=interpret,
                           zero=scene.materials.zero,
                           textured=textured, tex_hw=(h_, w_),
-                          env_tex=env_tex),
+                          env_tex=env_tex, lkinds=scene.lights.kinds),
         grid=(nb,),
         in_specs=[blk(6 * RG), blk(RG), smem((1, dims)),
                   full((5 * f, 14)), full(attrs.shape), full(fac.shape),

@@ -315,10 +315,15 @@ def cast_closest_chunks(t5, ext, q, avoid, interp=False,
     return best_key, u, v, att
 
 
-def cast_mint_chunks(t5, q, avoid, interp=False, transposed=False):
+def cast_mint_chunks(t5, q, avoid, interp=False, transposed=False,
+                     farclip=True):
     '''Nearest valid t per ray, [1, NR] f32 (INF = no hit), chunked like
     cast_closest_chunks.  The batched occlusion test: compare against
-    the light distance wherever that value lives cheaply.'''
+    the light distance wherever that value lives cheaply.
+    farclip=False drops the t < INF far-clip test (2 ops/pair): callers
+    that only compare the result against a FINITE tmax (the megakernel's
+    NEE shadow test — light distances are always < INF) get identical
+    occlusion bits without paying for the clip.'''
     f = (t5.shape[1] if transposed else t5.shape[0]) // 5
     nc = -(-f // FACE_CHUNK)
     nr = q.shape[1]
@@ -335,6 +340,9 @@ def cast_mint_chunks(t5, q, avoid, interp=False, transposed=False):
         r = recip(B, interp, approx=True)
         # t >= INF is a miss (brute parity; see cast_closest_chunks)
         ts = An * r
-        ts = jnp.where(valid & (ts < INF), ts, INF)
+        if farclip:
+            ts = jnp.where(valid & (ts < INF), ts, INF)
+        else:
+            ts = jnp.where(valid, ts, INF)
         best = jnp.minimum(best, jnp.min(ts, axis=0, keepdims=True))
     return best

@@ -79,6 +79,8 @@ def lights_hit(lights, ro, rd):
     pdf = jnp.zeros(n_sh)
     color = V3(jnp.zeros(n_sh), jnp.zeros(n_sh), jnp.zeros(n_sh))
 
+    has_pt = 'point' in lights.kinds
+    has_ar = 'area' in lights.kinds
     for l in range(L):
         live = l < lights.count
         is_point = lights.type[l] == LIGHT_POINT
@@ -86,13 +88,21 @@ def lights_hit(lights, ro, rd):
         size = lights.size[l]
         pos = _slot_v3(lights.pos, l)
 
-        t_sph = ray_sphere(ro, rd, pos, size * size)
-        dirx = _slot_v3(lights.axes[:, :, 0], l) * size
-        diry = _slot_v3(lights.axes[:, :, 1], l) * size
-        hit_rect, t_rect = ray_rect(ro, rd, pos, dirx, diry)
-
-        t = jnp.where(is_point, t_sph,
-                      jnp.where(is_area & hit_rect, t_rect, 0.0))
+        # absent kinds drop their geometry at trace time (Lights.kinds)
+        t_sph = ray_sphere(ro, rd, pos, size * size) if has_pt else 0.0
+        if has_ar:
+            dirx = _slot_v3(lights.axes[:, :, 0], l) * size
+            diry = _slot_v3(lights.axes[:, :, 1], l) * size
+            hit_rect, t_rect = ray_rect(ro, rd, pos, dirx, diry)
+            t_ar = jnp.where(is_area & hit_rect, t_rect, 0.0)
+        else:
+            t_ar = 0.0
+        if has_pt and has_ar:
+            t = jnp.where(is_point, t_sph, t_ar)
+        elif has_pt:
+            t = jnp.where(is_point, t_sph, 0.0)
+        else:
+            t = t_ar
         area = jnp.where(is_point, jnp.pi * size * size, 4.0 * size * size)
         valid = live & (t > 0.0) & (t < dis)  # nearest wins (dis starts INF)
 
@@ -125,8 +135,11 @@ def lights_sample(lights, hitpos, su, sv, sz):
 
     # point: surface point on the light sphere — the reference samples
     # spherical(samp.x, ...) whose z >= 0, i.e. the +z hemisphere
-    # (light/__init__.py:97-100); kept verbatim for parity.
-    disp_pt = vspherical(su, sv)
+    # (light/__init__.py:97-100); kept verbatim for parity.  The trig
+    # is skipped at trace time when no point light exists (Lights.kinds).
+    has_pt = 'point' in lights.kinds
+    has_ar = 'area' in lights.kinds
+    disp_pt = vspherical(su, sv) if has_pt else None
     lx = su * 2.0 - 1.0
     ly = sv * 2.0 - 1.0
 
@@ -136,13 +149,18 @@ def lights_sample(lights, hitpos, su, sv, sz):
         pos = _slot_v3(lights.pos, l)
         is_area = lights.type[l] == LIGHT_AREA
 
-        lp_pt = pos + disp_pt * size
+        lp_pt = pos + disp_pt * size if has_pt else None
         ax_x = _slot_v3(lights.axes[:, :, 0], l)
         ax_y = _slot_v3(lights.axes[:, :, 1], l)
         ax_z = _slot_v3(lights.axes[:, :, 2], l)
-        lp_ar = pos + (ax_x * lx + ax_y * ly) * size
+        lp_ar = pos + (ax_x * lx + ax_y * ly) * size if has_ar else None
 
-        lp = vwhere(is_area, lp_ar, lp_pt)
+        if has_pt and has_ar:
+            lp = vwhere(is_area, lp_ar, lp_pt)
+        else:
+            z = 0.0 * lx
+            lp = lp_ar if has_ar else (lp_pt if has_pt
+                                       else pos + V3(z, z, z))
         ar = jnp.where(is_area, 4.0 * size * size, jnp.pi * size * size)
         nr = vwhere(is_area, ax_z, 0.0)
 

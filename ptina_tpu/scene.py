@@ -93,13 +93,20 @@ SPECIALIZABLE_PARAMS = ('metallic', 'subsurface', 'sheen', 'clearcoat',
 class Lights:
     '''Analytic light pool, SoA over a fixed capacity L
     (reference: ptina/light/__init__.py:13-19).  `count` is a traced
-    scalar; slots >= count are masked out.'''
+    scalar; slots >= count are masked out.
+
+    `kinds` is the STATIC tuple of light kinds present ('point'/'area',
+    set by make_lights): the unrolled light loops drop the geometry of
+    absent kinds at trace time — e.g. an area-only scene (the cornell
+    benchmarks) skips the sphere-sample trig entirely.'''
     color: jnp.ndarray  # [L, 3]
     pos: jnp.ndarray    # [L, 3]
     axes: jnp.ndarray   # [L, 3, 3]
     size: jnp.ndarray   # [L]
     type: jnp.ndarray   # [L] i32 (0 = empty slot)
     count: jnp.ndarray  # [] i32
+    kinds: tuple = flax.struct.field(pytree_node=False,
+                                     default=('point', 'area'))
 
 
 @flax.struct.dataclass
@@ -363,10 +370,13 @@ def make_lights(lights=None, max_lights=None, default_light=True):
         ltype[i] = l['type']
         if 'axes' in l:
             axes[i] = l['axes']
+    kinds = tuple(k for k, t in (('point', LIGHT_POINT), ('area', LIGHT_AREA))
+                  if any(int(x) == t for x in ltype[:len(lights)]))
     return Lights(color=jnp.asarray(color), pos=jnp.asarray(pos),
                   axes=jnp.asarray(axes), size=jnp.asarray(size),
                   type=jnp.asarray(ltype),
-                  count=jnp.asarray(len(lights), jnp.int32))
+                  count=jnp.asarray(len(lights), jnp.int32),
+                  kinds=kinds)
 
 
 def make_scene(vertices, mtlids=None, materials=None, images=None,
