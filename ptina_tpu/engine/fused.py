@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ptina_tpu.utils.mathutils import INF
 from ptina_tpu.intersect.plucker import (
     FACE_CHUNK, KEY_FID_MASK, KEY_MISS, pack_plucker, pack_extract,
-    cast_closest_chunks, cast_mint_chunks, key_decode_t)
+    cast_closest_chunks, cast_mint_chunks, key_decode_t, key_mask_for)
 from ptina_tpu.utils.vec import V3, vdot, vdot_or_zero, vnormalize, vwhere, vavg3
 from ptina_tpu.engine.path import MAX_DEPTH, power_heuristic
 from ptina_tpu.materials.disney import disney_derive, disney_eval, disney_sample
@@ -426,12 +426,16 @@ def _tile_cast_closest(t5, attrs, ro, rd, avoid_lanes, ones1, zeros1,
     [6, RG*TR] — the same attributes pre-relayout, for consumers that
     need lane-major rows like the texture fetch).'''
     tr = ro.x.shape[1]
+    # tables above 2048 faces need wider fid bits or hits on faces
+    # >= 2048 alias down by the mask (advisor round 4: matball's 2216
+    # faces fetched face f-2048's attributes)
+    fid_mask = key_mask_for(t5.shape[0] // 5)
     q = _tile_q(ro, rd, ones1, zeros1)
     key, _, _, out = cast_closest_chunks(t5, attrs, q, avoid_lanes, interp,
-                                         n_attr=6)
+                                         fid_mask=fid_mask, n_attr=6)
     hitm = key != KEY_MISS
-    tmin = jnp.where(hitm, key_decode_t(key), INF)
-    idx = jnp.where(hitm, key & KEY_FID_MASK, -1)
+    tmin = jnp.where(hitm, key_decode_t(key, fid_mask), INF)
+    idx = jnp.where(hitm, key & fid_mask, -1)
     out = jnp.where(hitm, out, 0.0)
     t = _lanes_to_rows(tmin, tr)[0]
     index = _lanes_to_rows(idx, tr)[0]

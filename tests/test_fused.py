@@ -130,6 +130,41 @@ def test_fused_env_texture_matches_wavefront():
     assert abs(a.mean() - b.mean()) < 1e-2 * max(b.mean(), 1e-6)
 
 
+def test_fused_above_2048_faces_matches_wavefront():
+    '''Face-id aliasing guard (advisor round 4): tables above 2048 faces
+    must widen the packed-key fid mask (plucker.key_mask_for) or hits on
+    face f >= 2048 return f - 2048 and fetch the wrong attributes.  The
+    matball scene (2216 faces) crosses the boundary; depth 2 keeps
+    interpret mode affordable.'''
+    from ptina_tpu.scenes import matball
+    scene = matball()
+    assert scene.tri_w2b.shape[0] > 2048
+
+    res = 12
+    depth = 2
+    dims = 2 + 6 * depth
+    ii, jj = jnp.meshgrid(jnp.arange(res), jnp.arange(res), indexing='ij')
+    ii, jj = ii.reshape(-1), jj.reshape(-1)
+    u = sample_dims(0, ii, jj, dims)
+    x = (ii.astype(jnp.float32) + u[0]) / res * 2.0 - 1.0
+    y = (jj.astype(jnp.float32) + u[1]) / res * 2.0 - 1.0
+    ro, rd = camera_rays(scene.cam_v2w, x, y)
+    pt = sobol_block(0, dims)
+    base = wanghash2(ii, jj)
+    interpret = jax.default_backend() != 'tpu'
+    rad_f = fused_trace(scene, ro, rd, pt, base, interpret=interpret)
+    rad_w = path_trace(scene, ro, rd, u)
+    a = np.stack([np.asarray(rad_f.x), np.asarray(rad_f.y),
+                  np.asarray(rad_f.z)])
+    b = np.stack([np.asarray(rad_w.x), np.asarray(rad_w.y),
+                  np.asarray(rad_w.z)])
+    assert np.isfinite(a).all()
+    d = np.abs(a - b) / np.maximum(np.abs(b), 0.05)
+    assert (d.max(axis=0) < 2e-2).mean() > 0.95, \
+        f'{(d.max(axis=0) >= 2e-2).mean():.3f} paths differ'
+    assert abs(a.mean() - b.mean()) < 5e-3 * max(b.mean(), 1e-6)
+
+
 def test_fused_texture_eligibility():
     '''Texture-size and binding-count caps gate the megakernel.'''
     on_tpu = jax.default_backend() == 'tpu'
