@@ -36,13 +36,53 @@ LAST (the driver parses the final line):
   - sps_cornell_512x512_32spp          (34 tris, vs 7.25 sps)
 '''
 
+import glob
 import json
+import os
+import re
+import sys
 import time
 
 import numpy as np
 
 TARGET_TIMED_S = 2.5   # timed-region length the frame count aims for
 MAX_FRAMES = 64
+
+
+def _prev_round_values():
+    '''Per-metric values from the LATEST BENCH_r{N}.json (the driver's
+    record of the previous round) — the regression gate's reference.
+    Each metric line printed below carries delta_vs_prev_pct, and any
+    metric that drops >10% round-over-round gets a loud stderr warning
+    (round 4 shipped a silent 27% cornell_monkey regression; VERDICT
+    round-4 weak #1).'''
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in glob.glob(os.path.join(here, 'BENCH_r*.json')):
+        m = re.match(r'BENCH_r(\d+)\.json$', os.path.basename(p))
+        if m:
+            rounds.append((int(m.group(1)), p))
+    if not rounds:
+        return {}
+    _, path = max(rounds)
+    prev = {}
+    try:
+        with open(path) as f:
+            tail = json.load(f).get('tail', '')
+        for line in tail.splitlines():
+            line = line.strip()
+            if line.startswith('{'):
+                try:
+                    d = json.loads(line)
+                    prev[d['metric']] = d['value']
+                except (ValueError, KeyError):
+                    pass
+    except (OSError, ValueError):
+        return {}
+    return prev
+
+
+_PREV = None
 
 
 def _sync(film):
@@ -87,12 +127,23 @@ def _time_render(scene, res, spp, warm_spp=None, **render_kw):
 
 
 def _emit(metric, value, baseline, unit='samples/s'):
-    print(json.dumps({
+    global _PREV
+    if _PREV is None:
+        _PREV = _prev_round_values()
+    row = {
         'metric': metric,
         'value': round(value, 3),
         'unit': unit,
         'vs_baseline': round(value / baseline, 3),
-    }), flush=True)
+    }
+    if metric in _PREV and _PREV[metric] > 0:
+        delta = (value / _PREV[metric] - 1.0) * 100.0
+        row['delta_vs_prev_pct'] = round(delta, 1)
+        if delta < -10.0:
+            print(f'REGRESSION: {metric} dropped {-delta:.1f}% vs the '
+                  f'previous round ({_PREV[metric]} -> {round(value, 3)})',
+                  file=sys.stderr, flush=True)
+    print(json.dumps(row), flush=True)
 
 
 def _bench_texture():

@@ -35,7 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ptina_tpu.utils.mathutils import INF
 from ptina_tpu.intersect.plucker import (
     FACE_CHUNK, KEY_FID_MASK, KEY_MISS, pack_plucker, pack_extract,
-    cast_closest_chunks, cast_mint_chunks, key_decode_t, key_mask_for)
+    cast_closest_chunks, cast_mint_chunks, chunk_uvwta, chunk_valid,
+    key_decode_t, key_mask_for, recip)
 from ptina_tpu.utils.vec import V3, vdot, vdot_or_zero, vnormalize, vwhere, vavg3
 from ptina_tpu.engine.path import MAX_DEPTH, power_heuristic
 from ptina_tpu.materials.disney import disney_derive, disney_eval, disney_sample
@@ -386,6 +387,81 @@ def _group_q(ro, rd, g, ones1, zeros1):
                             ox, oy, oz, ones1], axis=0)
 
 
+# --- per-chunk AABB culling -------------------------------------------------
+# The megakernel's casts scan every 64-face chunk for every ray tile —
+# O(F) per ray, a 19.6x slowdown from cornell (34 tris) to monkey (978)
+# where the reference's BVH costs 2.5x (ptina/tree/lbvh.py:313-347,
+# README.md:44,50).  Chunks are spatially coherent (construction order /
+# Morton), so each carries an AABB; per bounce the kernel slab-tests
+# every live ray against every chunk box (~22 VPU ops/ray/chunk, <1 us
+# a tile) and reduces each chunk's mask to ONE SCALAR.  Chunks no ray
+# can touch are skipped with @pl.when — measured ~0.08 us per
+# conditional vs ~2 us per chunk visit, and the winner-extraction pass
+# gets the same treatment keyed on which chunks actually WON a ray.
+# The test is conservative (superset of chunks with reachable faces, on
+# an epsilon-inflated box), so radiance is bit-identical to the
+# unculled scan; tests/test_fused.py's parity suite covers it.
+
+def _chunk_conds(aabb_ref, nc, ro, rd, mask, tmax=None, interp=False):
+    '''Per-chunk scalar "any live ray can enter this box" predicates.
+    ro, rd: V3 [RG, TR] tiles; mask: [RG, TR] bool (alive / live);
+    tmax: optional [RG, TR] upper bound on useful t (NEE light
+    distance).  Chunk boxes come from SMEM rows (lo3, hi3) built by
+    _pack_chunk_aabbs; all-padding chunks carry an inverted box, so
+    their slab test fails for every ray.'''
+    dx = jnp.where(jnp.abs(rd.x) < 1e-12, 1e-12, rd.x)
+    dy = jnp.where(jnp.abs(rd.y) < 1e-12, 1e-12, rd.y)
+    dz = jnp.where(jnp.abs(rd.z) < 1e-12, 1e-12, rd.z)
+    ix = recip(dx, interp)
+    iy = recip(dy, interp)
+    iz = recip(dz, interp)
+    conds = []
+    for c in range(nc):
+        t1x = (aabb_ref[c, 0] - ro.x) * ix
+        t2x = (aabb_ref[c, 3] - ro.x) * ix
+        t1y = (aabb_ref[c, 1] - ro.y) * iy
+        t2y = (aabb_ref[c, 4] - ro.y) * iy
+        t1z = (aabb_ref[c, 2] - ro.z) * iz
+        t2z = (aabb_ref[c, 5] - ro.z) * iz
+        near = jnp.maximum(jnp.maximum(jnp.minimum(t1x, t2x),
+                                       jnp.minimum(t1y, t2y)),
+                           jnp.minimum(t1z, t2z))
+        far = jnp.minimum(jnp.minimum(jnp.maximum(t1x, t2x),
+                                      jnp.maximum(t1y, t2y)),
+                          jnp.maximum(t1z, t2z))
+        m = mask & (near <= far) & (far > 0.0)
+        if tmax is not None:
+            m = m & (near < tmax)
+        conds.append(jnp.sum(m.astype(jnp.int32)) > 0)
+    return conds
+
+
+def _pack_chunk_aabbs(tri_pos, nfaces, fc=FACE_CHUNK):
+    '''[nc, 8] f32 chunk-AABB table for SMEM: (lo.xyz, hi.xyz, 0, 0)
+    over each FACE_CHUNK of LIVE faces (padding faces are degenerate
+    all-zero triangles that never hit, so excluding them keeps the box
+    conservative); inflated by a relative epsilon so f32 rounding in the
+    kernel's slab test can never drop a true hit.  All-padding chunks
+    get an inverted box (every slab test fails).'''
+    f = tri_pos.shape[0]
+    nc = -(-f // fc)
+    big = jnp.float32(3.4e38)
+    live = (jnp.arange(f) < nfaces)[:, None, None]
+    vmin = jnp.min(jnp.where(live, tri_pos, big), axis=1)    # [F, 3]
+    vmax = jnp.max(jnp.where(live, tri_pos, -big), axis=1)
+    pad = nc * fc - f
+    if pad:
+        vmin = jnp.concatenate([vmin, jnp.full((pad, 3), big)])
+        vmax = jnp.concatenate([vmax, jnp.full((pad, 3), -big)])
+    lo = vmin.reshape(nc, fc, 3).min(axis=1)
+    hi = vmax.reshape(nc, fc, 3).max(axis=1)
+    eps = 1e-5 * (jnp.abs(lo) + jnp.abs(hi) + 1.0)
+    inverted = lo[:, 0] > hi[:, 0]
+    lo = jnp.where(inverted[:, None], lo, lo - eps)
+    hi = jnp.where(inverted[:, None], hi, hi + eps)
+    return jnp.concatenate([lo, hi, jnp.zeros((nc, 2))], axis=1)
+
+
 # --- batched whole-tile casts -----------------------------------------------
 # The per-group casts above issue 8 small [5F, 14] @ [14, TR] matmuls per
 # bounce.  The batched forms below lay the 8 sublane groups side by side
@@ -418,21 +494,93 @@ def _tile_q(ro, rd, ones1, zeros1):
     return jnp.concatenate(qs, axis=1)
 
 
+def _culled_closest(t5, ext, q, avoid, interp, fid_mask, conds,
+                    key_ref, ext_ref, n_attr=6):
+    '''cast_closest_chunks with per-chunk @pl.when skipping: pass 1
+    accumulates the packed-key minimum in key_ref [1, NR] i32 under
+    `conds`; pass 2 accumulates winner extraction in ext_ref under
+    "any ray's winner fid lies in this chunk".  Same math as the
+    shared core (intersect/plucker.py) — the culling only removes
+    chunks whose faces no ray can reach, so results are identical.'''
+    f = t5.shape[0] // 5
+    nc = -(-f // FACE_CHUNK)
+    nr = q.shape[1]
+    key_ref[:] = jnp.full((1, nr), KEY_MISS, jnp.int32)
+    for ci in range(nc):
+        @pl.when(conds[ci])
+        def _(ci=ci):
+            fc = min(FACE_CHUNK, f - ci * FACE_CHUNK)
+            t5c = t5[5 * ci * FACE_CHUNK:5 * ci * FACE_CHUNK + 5 * fc]
+            U, V, W, B, An = chunk_uvwta(t5c, q)
+            valid, fids = chunk_valid(U, V, W, B, An, ci * FACE_CHUNK,
+                                      avoid)
+            r = recip(B, interp, approx=True)
+            ts = An * r
+            key = jnp.where(
+                valid & (ts < INF),
+                (jax.lax.bitcast_convert_type(ts, jnp.int32)
+                 & ~jnp.int32(fid_mask)) | fids,
+                KEY_MISS)
+            key_ref[:] = jnp.minimum(key_ref[:],
+                                     jnp.min(key, axis=0, keepdims=True))
+    best_key = key_ref[:]
+
+    wfid = best_key & fid_mask
+    ext_ref[:] = jnp.zeros(ext_ref.shape)
+    for ci in range(nc):
+        fc = min(FACE_CHUNK, f - ci * FACE_CHUNK)
+
+        # winner extraction keyed on the SLAB conds (a chunk can only
+        # win if it was visited) — an exact "did chunk ci win any ray"
+        # reduce on wfid was measured SLOWER: its vector->scalar sync
+        # against the just-computed key minimum drains the pipeline
+        # (~1.6 sps on cornell_monkey), while the slab conds were
+        # computed up front and are long ready
+        @pl.when(conds[ci])
+        def _(ci=ci, fc=fc):
+            fids = ci * FACE_CHUNK + jax.lax.broadcasted_iota(
+                jnp.int32, (fc, nr), 0)
+            ffc = (fids == wfid).astype(jnp.float32)
+            extc = ext[:, ci * FACE_CHUNK:ci * FACE_CHUNK + fc]
+            ext_ref[:] = ext_ref[:] + jnp.dot(
+                extc, ffc, preferred_element_type=jnp.float32)
+    corners = ext_ref[:]
+    coefw = corners[3 * n_attr:]
+    uw_num = sum(coefw[k:k + 1] * q[k:k + 1] for k in range(6))
+    vw_num = sum(coefw[6 + k:7 + k] * q[k:k + 1] for k in range(6))
+    bw = sum(coefw[12 + k:13 + k] * q[6 + k:7 + k] for k in range(3))
+    rb = jnp.minimum(recip(bw, interp, approx=True), 1e18)
+    u = uw_num * rb
+    v = vw_num * rb
+    att = (corners[0:n_attr] * (1.0 - u - v)
+           + corners[n_attr:2 * n_attr] * u
+           + corners[2 * n_attr:3 * n_attr] * v)
+    return best_key, u, v, att
+
+
 def _tile_cast_closest(t5, attrs, ro, rd, avoid_lanes, ones1, zeros1,
-                       interp):
+                       interp, conds=None, key_ref=None, ext_ref=None):
     '''Closest cast of all RG*TR rays of a tile in ONE matmul.
-    avoid_lanes: [1, RG*TR] i32.  Returns (t [RG, TR], index [RG, TR]
-    i32, index_lanes [1, RG*TR] i32, attrs 6 x [RG, TR], attrs_lanes
-    [6, RG*TR] — the same attributes pre-relayout, for consumers that
-    need lane-major rows like the texture fetch).'''
+    avoid_lanes: [1, RG*TR] i32.  conds/key_ref/ext_ref: per-chunk cull
+    predicates + scratch accumulators (None = unconditional scan).
+    Returns (t [RG, TR], index [RG, TR] i32, index_lanes [1, RG*TR]
+    i32, attrs 6 x [RG, TR], attrs_lanes [6, RG*TR] — the same
+    attributes pre-relayout, for consumers that need lane-major rows
+    like the texture fetch).'''
     tr = ro.x.shape[1]
     # tables above 2048 faces need wider fid bits or hits on faces
     # >= 2048 alias down by the mask (advisor round 4: matball's 2216
     # faces fetched face f-2048's attributes)
     fid_mask = key_mask_for(t5.shape[0] // 5)
     q = _tile_q(ro, rd, ones1, zeros1)
-    key, _, _, out = cast_closest_chunks(t5, attrs, q, avoid_lanes, interp,
-                                         fid_mask=fid_mask, n_attr=6)
+    if conds is None:
+        key, _, _, out = cast_closest_chunks(t5, attrs, q, avoid_lanes,
+                                             interp, fid_mask=fid_mask,
+                                             n_attr=6)
+    else:
+        key, _, _, out = _culled_closest(t5, attrs, q, avoid_lanes,
+                                         interp, fid_mask, conds,
+                                         key_ref, ext_ref)
     hitm = key != KEY_MISS
     tmin = jnp.where(hitm, key_decode_t(key, fid_mask), INF)
     idx = jnp.where(hitm, key & fid_mask, -1)
@@ -443,27 +591,57 @@ def _tile_cast_closest(t5, attrs, ro, rd, avoid_lanes, ones1, zeros1,
     return t, index, idx, a6, out
 
 
-def _tile_cast_mint(t5, ro, rd, avoid_lanes, ones1, zeros1, interp):
+def _tile_cast_mint(t5, ro, rd, avoid_lanes, ones1, zeros1, interp,
+                    conds=None, t_ref=None):
     '''Nearest-valid-t cast of a whole tile in one matmul, [RG, TR] f32
-    (INF = clear).  Shadow test: occluded iff result < light distance.'''
+    (INF = clear).  Shadow test: occluded iff result < light distance.
+    conds/t_ref: per-chunk cull predicates + scratch (None = scan).'''
     tr = ro.x.shape[1]
     q = _tile_q(ro, rd, ones1, zeros1)
-    # farclip=False: the caller compares against finite light distances
-    tmin = cast_mint_chunks(t5, q, avoid_lanes, interp, farclip=False)
-    return _lanes_to_rows(tmin, tr)[0]
+    if conds is None:
+        # farclip=False: the caller compares against finite light
+        # distances
+        tmin = cast_mint_chunks(t5, q, avoid_lanes, interp, farclip=False)
+        return _lanes_to_rows(tmin, tr)[0]
+    f = t5.shape[0] // 5
+    nc = -(-f // FACE_CHUNK)
+    t_ref[:] = jnp.full(t_ref.shape, INF)
+    for ci in range(nc):
+        @pl.when(conds[ci])
+        def _(ci=ci):
+            fc = min(FACE_CHUNK, f - ci * FACE_CHUNK)
+            t5c = t5[5 * ci * FACE_CHUNK:5 * ci * FACE_CHUNK + 5 * fc]
+            U, V, W, B, An = chunk_uvwta(t5c, q)
+            valid, _ = chunk_valid(U, V, W, B, An, ci * FACE_CHUNK,
+                                   avoid_lanes)
+            r = recip(B, interp, approx=True)
+            ts = jnp.where(valid, An * r, INF)
+            t_ref[:] = jnp.minimum(t_ref[:],
+                                   jnp.min(ts, axis=0, keepdims=True))
+    return _lanes_to_rows(t_ref[:], tr)[0]
 
 
 def _path_kernel(rays_ref, base_ref, pt_ref, m_all_ref, attr_ref, fac_ref,
                  lt_ref, *refs,
                  interp=False, zero=(), textured=(), tex_hw=(1, 1),
-                 env_tex=-1, lkinds=('point', 'area')):
+                 env_tex=-1, lkinds=('point', 'area'), cull=False):
     # positional ref tail: [texp, texdim (texture-using scenes only)],
-    # cnt, wf inputs, then the r/g/b outputs
-    if textured or env_tex >= 0:
-        texp_ref, texdim_ref, cnt_ref, wf_ref, r_ref, g_ref, b_ref = refs
+    # [aabb (multi-chunk scenes only)], cnt, wf inputs, the r/g/b
+    # outputs, then [key/ext/t scratch (multi-chunk only)]
+    refs = list(refs)
+    if cull:
+        t_scr = refs.pop()
+        ext_scr = refs.pop()
+        key_scr = refs.pop()
     else:
-        cnt_ref, wf_ref, r_ref, g_ref, b_ref = refs
+        key_scr = ext_scr = t_scr = None
+    if textured or env_tex >= 0:
+        texp_ref, texdim_ref = refs[0], refs[1]
+        refs = refs[2:]
+    else:
         texp_ref = texdim_ref = None
+    aabb_ref = refs.pop(0) if cull else None
+    cnt_ref, wf_ref, r_ref, g_ref, b_ref = refs
     tr = rays_ref.shape[1]
     rr = rays_ref[:].reshape(6, RG, tr)
     ro = V3(rr[0], rr[1], rr[2])
@@ -496,12 +674,20 @@ def _path_kernel(rays_ref, base_ref, pt_ref, m_all_ref, attr_ref, fac_ref,
     avoid_lanes = jnp.full((1, RG * tr), -1, jnp.int32)
     alive = jnp.ones(n_sh, bool)
 
+    nchunk = -(-(t5.shape[0] // 5) // FACE_CHUNK)
     for b in range(depth):
         u = [_urow_k(pt_ref, pbase, 2 + 6 * b + r) for r in range(6)]
         rd = vnormalize(rd)
 
+        # bounce 0 only: primary rays are pixel-coherent, so whole-tile
+        # culling removes ~77% of chunk visits; from bounce 1 on the
+        # tile's 4096 scattered directions touch every chunk (measured
+        # saturation 1.0) and the predicates would be pure overhead
+        conds = _chunk_conds(aabb_ref, nchunk, ro, rd, alive,
+                             interp=interp) if cull and b == 0 else None
         t, index, idx_lanes, a6, a6_lanes = _tile_cast_closest(
-            t5, attrs, ro, rd, avoid_lanes, ones1, zeros1, interp)
+            t5, attrs, ro, rd, avoid_lanes, ones1, zeros1, interp,
+            conds=conds, key_ref=key_scr, ext_ref=ext_scr)
         hit = index >= 0
         normal = vnormalize(V3(a6[0], a6[1], a6[2]))
         mtlid = jnp.where(hit, jnp.round(a6[5]).astype(jnp.int32), -1)
@@ -575,8 +761,12 @@ def _path_kernel(rays_ref, base_ref, pt_ref, m_all_ref, attr_ref, fac_ref,
         # next-event estimation (reference path.py:48-56)
         li_dis, li_dir, li_pdf, li_color = _lights_sample_k(
             lt, count, hitpos, u[0], u[1], u[2], kinds=lkinds)
+        sconds = _chunk_conds(aabb_ref, nchunk, hitpos, li_dir, live,
+                              tmax=li_dis, interp=interp) \
+            if cull and b == 0 else None
         occ = _tile_cast_mint(t5, hitpos, li_dir, idx_lanes,
-                              ones1, zeros1, interp) < li_dis
+                              ones1, zeros1, interp,
+                              conds=sconds, t_ref=t_scr) < li_dis
         brdf_clr = disney_eval(material, normal, sign, -1.0 * rd, li_dir,
                                zero)
         brdf_pdf = vavg3(brdf_clr)
@@ -696,19 +886,35 @@ def fused_trace(scene, ro, rd, pt, base, interpret=False):
         tex_in = [texp, texdim]
         tex_specs = [full(texp.shape), smem(texdim.shape)]
 
+    # multi-chunk scenes cull chunks per bounce against per-chunk AABBs
+    # (see _chunk_conds); single-chunk scenes skip the machinery
+    cull = f > FACE_CHUNK
+    aabb_in = []
+    aabb_specs = []
+    scratch = []
+    if cull:
+        aabb = _pack_chunk_aabbs(scene.tri_pos, scene.nfaces)
+        aabb_in = [aabb]
+        aabb_specs = [smem(aabb.shape)]
+        scratch = [pltpu.VMEM((1, block), jnp.int32),
+                   pltpu.VMEM((attrs.shape[0], block), jnp.float32),
+                   pltpu.VMEM((1, block), jnp.float32)]
+
     out_sh = jax.ShapeDtypeStruct((nb * RG, tr), jnp.float32)
     rx, gx, bx = pl.pallas_call(
         functools.partial(_path_kernel, interp=interpret,
                           zero=scene.materials.zero,
                           textured=textured, tex_hw=(h_, w_),
-                          env_tex=env_tex, lkinds=scene.lights.kinds),
+                          env_tex=env_tex, lkinds=scene.lights.kinds,
+                          cull=cull),
         grid=(nb,),
         in_specs=[blk(6 * RG), blk(RG), smem((1, dims)),
                   full((5 * f, 14)), full(attrs.shape), full(fac.shape),
-                  full(lt.shape)] + tex_specs
+                  full(lt.shape)] + tex_specs + aabb_specs
                  + [smem((1, 1)), smem((1, 4))],
         out_specs=[blk(RG)] * 3,
         out_shape=[out_sh, out_sh, out_sh],
+        scratch_shapes=scratch,
         interpret=interpret,
         # the unrolled chunk loop's overlapping matmul outputs push the
         # scoped-VMEM stack past Mosaic's 16 MB default on big face
@@ -717,5 +923,5 @@ def fused_trace(scene, ro, rd, pt, base, interpret=False):
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=('parallel',),
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(rays, baser, ptr, t5, attrs, fac, lt, *tex_in, cnt, wf)
+    )(rays, baser, ptr, t5, attrs, fac, lt, *tex_in, *aabb_in, cnt, wf)
     return V3(rx.reshape(-1)[:n], gx.reshape(-1)[:n], bx.reshape(-1)[:n])
