@@ -10,23 +10,25 @@ intersect/pallas_cast.py but adds a broad phase over face BLOCKS:
     partitioned into BLOCK_FACES-sized spatially-coherent blocks with
     per-block AABBs (scene.compute_block_bounds) — the "leaves" of a
     fixed-depth, implicit two-level tree.
-  * Ray sort (XLA, per cast): rays are permuted into direction-octant
-    buckets by a stable counting sort (_coherence_order), fixing each
-    tile's direction signs while image order keeps origins coherent.
+  * Ray sort (XLA, per cast): rays are permuted into coherent tiles by
+    a stable sort on (direction octant, origin Morton cell)
+    (_coherence_order), fixing each tile's direction signs and packing
+    same-cell origins together.
   * Broad phase (XLA, per cast): each TR-ray tile gets a conservative
     interval slab test against every block AABB — O(ntiles * nblocks)
     scalar work, no per-ray cost — and a compacted CANDIDATE block list
     sorted by a conservative entry-t lower bound.
   * Narrow phase (Pallas): ONE grid step per ray tile; candidates
-    advance in an in-kernel fori_loop reading the VMEM-resident block
-    tables by dynamic index.  Each visited block runs the shared
-    Plücker cast core (intersect/plucker.py: chunked matmul +
-    division-free packed-key tail), accumulated into a running per-ray
-    minimum.  (Two rejected designs, both measured slower: a
-    (tile, slot) grid pays ~1.3 us per SKIPPED Mosaic grid step — 137
-    ms/cast of pure overhead; an entry-bound early-out while_loop pays
-    a vector->scalar pipeline-drain sync per visit that costs as much
-    as the visits it saves.)
+    advance in rounds of EXIT_ROUND visits under a while_loop that
+    stops once no ray's running minimum can improve on the next
+    round's entry bound (_traverse) — the TPU counterpart of BVH
+    traversal's node-beyond-closest-hit pruning.  Each visited block
+    runs the shared Plücker cast core (intersect/plucker.py: chunked
+    matmul + division-free packed-key tail) on the VMEM-resident block
+    tables by dynamic index.  (Two rejected designs, both measured
+    slower: a (tile, slot) grid pays ~1.3 us per SKIPPED Mosaic grid
+    step — 137 ms/cast of pure overhead; a PER-VISIT early-out sync
+    costs as much as the visits it saves, hence the 8-visit rounds.)
 
 Correctness does not depend on the culling quality: the candidate test
 is conservative (superset), and a degenerate block simply wastes one
@@ -54,25 +56,15 @@ from ptina_tpu.intersect.plucker import (
 __all__ = ['blocked_cast_closest', 'blocked_cast_shade',
            'blocked_cast_any', 'blocked_tables', 'BLOCKED_TR']
 
-BLOCKED_TR = 512   # rays per tile (lane axis).  Measured trade-off on
-# the 102k-face scene (round 4): small tiles (128) give tighter frusta
-# and beat 512 on COHERENT wavefronts (primary-bounce chunks: 24-50 ms
-# vs ~90 ms), but deep-bounce diffuse wavefronts saturate the broad
-# phase no matter the tile size (nearly every block stays a candidate
-# once a tile's direction interval opens up), and there the per-visit
-# loop overhead dominates: whole-frame samples measured 3.9 s at
-# TR=128, 3.5 s at 256, 2.4 s at 512.  The attainable floor is per-RAY
-# candidates (mean 6.2 blocks/ray vs ~180/tile saturated) — reaching
-# it needs ray-to-block BINNING (segmented-scan compaction of
-# (ray, block) pairs processed block-major), not bigger/smaller tiles;
-# left as the next structural step.
+BLOCKED_TR = 512   # rays per tile (lane axis).  Swept on the 102k-face
+# scene in round 5 WITH the entry-bound early exit + origin-cell sort:
+# TR=512 octant-major 0.83 sps, TR=256 0.66, TR=128 0.64, and
+# origin-major keys lose at every TR (0.55-0.66) — wide tiles win
+# because the per-visit loop overhead outweighs the tighter frusta.
 
 CAND_BITS = 12     # low bits of a packed candidate word = block id
 CAND_MASK = (1 << CAND_BITS) - 1  # caps scenes at 4096 blocks = 2^21
 # faces at BLOCK_FACES=512 (the reference LBVH's capacity, things.py:13)
-
-import numpy as _np
-INF_BITS = int(_np.float32(INF).view(_np.int32))  # far clip as i32 pattern
 
 # VMEM-residency cap for the whole block-table working set (~480 B/face
 # packed: 320 t5 + 160 attrs).  131072 faces ~ 63 MB, inside the 100 MB
@@ -115,33 +107,58 @@ def blocked_tables(tri_w2b, tri_attrs, block_faces):
 
 
 def _coherence_order(ro, rd, block_bounds):
-    '''Permutation packing SECONDARY rays into coherent tiles: a STABLE
-    8-bucket counting sort on the direction octant.  After one bounce a
+    '''Permutation packing SECONDARY rays into coherent tiles: a stable
+    sort on (direction octant, origin Morton cell).  After one bounce a
     wavefront's rays point everywhere, so an unsorted tile's direction
     interval straddles 0 on every axis and the broad phase can cull
-    nothing (round-3 verdict).  Octant bucketing fixes the direction
-    signs per tile; stability preserves the caller's IMAGE order inside
-    each bucket, and image-adjacent rays have adjacent surface hitpos —
-    so origin intervals stay tight for free, without origin-cell keys.
+    nothing (round-3 verdict).  Octant bits (high) fix each tile's
+    direction signs; the 9-bit origin-cell Morton code (8x8x8 grid over
+    the scene box) packs rays whose ORIGINS share a small cell into the
+    same tile — without it, a deep-bounce tile's 512 rays originate all
+    over the scene, its origin interval spans the world, and the broad
+    phase saturates at ~180 candidate blocks per tile where the per-RAY
+    mean is 6.2 (round-4 builder measurement, the named fix).
 
-    Implemented as cumsum ranking + ONE scatter — NOT jnp.argsort: a
-    full 262k-element XLA:TPU sort measured ~1 s (bitonic), three
-    orders of magnitude over the whole narrow phase; cumsums, gathers
-    and single scatters are all ~1-7 ms at this size (measured round
-    4).  Returns (order, inv): order gathers inputs into sorted form,
-    inv gathers results back (inv[i] = sorted slot of ray i).'''
+    Implemented as ONE jnp.sort of (key << 18 | ray index) packed i32
+    (index bits double as the stability tiebreak, preserving image
+    order inside each bucket) + one scatter for the inverse — a 262k
+    i32 sort measures ~1-3 ms on this chip, in the same band as the
+    old 8-bucket cumsum ranking it replaces.  Returns (order, inv):
+    order gathers inputs into sorted form, inv gathers results back
+    (inv[i] = sorted slot of ray i).'''
     n = rd.x.shape[0]
     octant = ((rd.x < 0).astype(jnp.int32) * 4
               + (rd.y < 0).astype(jnp.int32) * 2
               + (rd.z < 0).astype(jnp.int32))
-    masks = octant[None, :] == jnp.arange(8, dtype=jnp.int32)[:, None]
-    csum = jnp.cumsum(masks.astype(jnp.int32), axis=1)     # [8, N]
-    rank = jnp.sum(jnp.where(masks, csum, 0), axis=0) - 1  # [N] stable
-    counts = csum[:, -1]
-    offsets = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
-    inv = offsets[octant] + rank
-    order = jnp.zeros((n,), jnp.int32).at[inv].set(
+    # scene box from the (finite) block AABBs; padding blocks are
+    # inverted so lo rows are +big — mask them by lo <= hi
+    valid = jnp.all(block_bounds[:, 0:3] <= block_bounds[:, 3:6], axis=1)
+    big = jnp.float32(3.4e38)
+    lo = jnp.min(jnp.where(valid[:, None], block_bounds[:, 0:3], big),
+                 axis=0)
+    hi = jnp.max(jnp.where(valid[:, None], block_bounds[:, 3:6], -big),
+                 axis=0)
+    inv_ext = 1.0 / jnp.maximum(hi - lo, 1e-12)
+
+    def cell(x, l, ie):
+        return jnp.clip((x - l) * ie * 8.0, 0.0, 7.0).astype(jnp.int32)
+    cx = cell(ro.x, lo[0], inv_ext[0])
+    cy = cell(ro.y, lo[1], inv_ext[1])
+    cz = cell(ro.z, lo[2], inv_ext[2])
+    # 3-bit-per-axis Morton interleave (x2 y2 z2 x1 y1 z1 x0 y0 z0)
+    def spread(v):
+        return ((v & 4) << 4) | ((v & 2) << 2) | (v & 1)
+    morton = (spread(cx) << 2) | (spread(cy) << 1) | spread(cz)
+    # pack (octant | morton | ray index) into 31 bits; huge wavefronts
+    # shed low Morton bits to keep the index tiebreak exact
+    ibits = max(1, (n - 1).bit_length())
+    mbits = min(9, max(0, 28 - 3 - ibits))
+    assert mbits > 0, 'wavefront too large for the packed sort key'
+    key = (octant << (mbits + ibits)) \
+        | ((morton >> (9 - mbits)) << ibits) \
+        | jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    order = jnp.sort(key) & ((1 << ibits) - 1)
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(
         jnp.arange(n, dtype=jnp.int32))
     return order, inv
 
@@ -268,21 +285,45 @@ def _candidate_blocks(block_bounds, olo, ohi, dlo, dhi):
 # ---------------------------------------------------------------------------
 
 
-def _traverse(ce_ref, i, cnt, visit):
-    '''Candidate traversal: fori over the tile's candidate count.  The
-    block tables are VMEM-resident; visit() reads its block by dynamic
-    index, so there is no DMA machinery in the loop (an earlier
-    double-buffered HBM-DMA variant deadlocked the device; VMEM
-    residency caps the face count — see MAX_BLOCKED_VMEM_FACES — and a
-    streaming variant can reintroduce DMA for scenes beyond it).
+EXIT_ROUND = 8  # visits per early-exit check: a vector->scalar sync
+# every visit cost as much as the visits it saved (measured round 4 —
+# zero net speedup), but candidates are ENTRY-SORTED, most rays resolve
+# within the first few blocks, and one sync per 8 visits amortizes the
+# pipeline drain 8x.  Measured on the 102k-face scene: mean visits per
+# tile drop from ~100 (saturated broad phase) to the per-ray-resolution
+# floor, the single biggest blocked-cast win of round 5.
 
-    Deliberately NO data-dependent early exit: a while_loop gated on
-    the running per-ray minimum needs a vector->scalar reduce each
-    iteration, and that pipeline-draining sync cost as much as the
-    visits it saved (measured round 4: entry-ordered early-out gave
-    ZERO net speedup at TR=512).  Candidate counts are kept small by
-    ray-coherence sorting + the tile broad phase instead.'''
-    jax.lax.fori_loop(0, cnt, lambda j, _: (visit(j), 0)[1], 0)
+
+def _traverse(ce_ref, i, cnt, gate, visit):
+    '''Candidate traversal: rounds of EXIT_ROUND visits under a
+    while_loop whose condition asks `gate(entry_bits)` — "can any ray
+    still improve on a block whose conservative entry bound is this
+    round's FIRST candidate's?".  Entries ride in the high bits of the
+    packed candidate words, non-decreasing in slot order and FLOORED at
+    pack time, so (all rays' t <= stored entry) really does imply no
+    later block can strictly improve any ray — skipped visits change
+    nothing (cross-block exact-t ties keep the earlier block either
+    way).  The block tables are VMEM-resident; visit() reads its block
+    by dynamic index, so there is no DMA machinery in the loop (an
+    earlier double-buffered HBM-DMA variant deadlocked the device; VMEM
+    residency caps the face count — see MAX_BLOCKED_VMEM_FACES).'''
+    nbslots = ce_ref.shape[1]
+
+    def cond(r):
+        base = r * EXIT_ROUND
+        ent = ce_ref[i, jnp.minimum(base, nbslots - 1)] \
+            & ~jnp.int32(CAND_MASK)
+        return (base < cnt) & gate(ent)
+
+    def body(r):
+        base = r * EXIT_ROUND
+        for j in range(EXIT_ROUND):
+            @pl.when(base + j < cnt)
+            def _(j=j):
+                visit(base + j)
+        return r + 1
+
+    jax.lax.while_loop(cond, body, jnp.int32(0))
 
 
 def _blocked_shade_kernel(ce_ref, cnt_ref, q_ref, avoid_ref,
@@ -321,7 +362,13 @@ def _blocked_shade_kernel(ce_ref, cnt_ref, q_ref, avoid_ref,
         v_ref[:] = jnp.where(better, vw, v_ref[:])
         out_ref[:] = jnp.where(better, att, out_ref[:])
 
-    _traverse(ce_ref, i, cnt_ref[i], visit)
+    def gate(ent):
+        # any ray whose best t still exceeds the round's entry bound?
+        # (t >= 0 always, so the i32 bit pattern orders like the float)
+        tb = _i32v(t_ref[:])
+        return jnp.sum((tb > ent).astype(jnp.int32)) > 0
+
+    _traverse(ce_ref, i, cnt_ref[i], gate, visit)
 
 
 def _blocked_mint_kernel(ce_ref, cnt_ref, q_ref, avoid_ref,
@@ -338,7 +385,14 @@ def _blocked_mint_kernel(ce_ref, cnt_ref, q_ref, avoid_ref,
                               transposed=True)
         t_ref[:] = jnp.minimum(t_ref[:], tm)
 
-    _traverse(ce_ref, i, cnt_ref[i], visit)
+    def gate(ent):
+        # a visit still matters only for rays not yet occluded
+        # (t >= tmax) by blocks entered before their light (entry <
+        # tmax); tmax >= 0 so its bit pattern orders like the float
+        live = (t_ref[:] >= tmax_ref[:]) & (_i32v(tmax_ref[:]) > ent)
+        return jnp.sum(live.astype(jnp.int32)) > 0
+
+    _traverse(ce_ref, i, cnt_ref[i], gate, visit)
 
 
 @functools.partial(jax.jit, static_argnames=('interpret', 'sort', 'n_attr'))
