@@ -45,7 +45,7 @@ from ptina_tpu.utils.mathutils import safe_sqrt
 from ptina_tpu.utils.vec import vspherical
 
 __all__ = ['MAX_FUSED_FACES', 'MAX_FUSED_TEX_BYTES', 'fused_eligible',
-           'fused_trace']
+           'fused_trace', 'fused_trace_uniforms', 'fused_trace_diff']
 
 MAX_FUSED_FACES = 2560  # per-chunk working set is bounded (FACE_CHUNK),
 # so this cap is about total VMEM tables + the unrolled chunk-loop's
@@ -621,14 +621,27 @@ def _tile_cast_mint(t5, ro, rd, avoid_lanes, ones1, zeros1, interp,
     return _lanes_to_rows(t_ref[:], tr)[0]
 
 
-def _path_kernel(rays_ref, base_ref, pt_ref, m_all_ref, attr_ref, fac_ref,
-                 lt_ref, *refs,
+def _path_kernel(rays_ref, *refs,
                  interp=False, zero=(), textured=(), tex_hw=(1, 1),
-                 env_tex=-1, lkinds=('point', 'area'), cull=False):
-    # positional ref tail: [texp, texdim (texture-using scenes only)],
-    # [aabb (multi-chunk scenes only)], cnt, wf inputs, the r/g/b
-    # outputs, then [key/ext/t scratch (multi-chunk only)]
+                 env_tex=-1, lkinds=('point', 'area'), cull=False,
+                 explicit_u=False):
+    # positional ref tail: [base, pt (in-kernel RNG) | u (explicit
+    # uniforms, MLT replay)], the scene tables, [texp, texdim
+    # (texture-using scenes only)], [aabb (multi-chunk scenes only)],
+    # cnt, wf inputs, the r/g/b outputs, then [key/ext/t scratch
+    # (multi-chunk only)]
     refs = list(refs)
+    if explicit_u:
+        u_ref = refs.pop(0)
+        base_ref = pt_ref = None
+    else:
+        base_ref = refs.pop(0)
+        pt_ref = refs.pop(0)
+        u_ref = None
+    m_all_ref = refs.pop(0)
+    attr_ref = refs.pop(0)
+    fac_ref = refs.pop(0)
+    lt_ref = refs.pop(0)
     if cull:
         t_scr = refs.pop()
         ext_scr = refs.pop()
@@ -646,9 +659,15 @@ def _path_kernel(rays_ref, base_ref, pt_ref, m_all_ref, attr_ref, fac_ref,
     rr = rays_ref[:].reshape(6, RG, tr)
     ro = V3(rr[0], rr[1], rr[2])
     rd = V3(rr[3], rr[4], rr[5])
-    pbase = base_ref[:]  # per-pixel rotation hash rows
-    dims = pt_ref.shape[1]
-    depth = (dims - 2) // 6  # bounce cap rides in the Sobol point rows
+    if explicit_u:
+        urows = u_ref[:].reshape(-1, RG, tr)  # [6 * depth, RG, tr]
+        depth = urows.shape[0] // 6
+        pbase = None
+    else:
+        pbase = base_ref[:]  # per-pixel rotation hash rows
+        dims = pt_ref.shape[1]
+        depth = (dims - 2) // 6  # bounce cap rides in the Sobol rows
+        urows = None
     t5 = m_all_ref[:]
     attrs = attr_ref[:]
     fac = fac_ref[:]
@@ -676,7 +695,8 @@ def _path_kernel(rays_ref, base_ref, pt_ref, m_all_ref, attr_ref, fac_ref,
 
     nchunk = -(-(t5.shape[0] // 5) // FACE_CHUNK)
     for b in range(depth):
-        u = [_urow_k(pt_ref, pbase, 2 + 6 * b + r) for r in range(6)]
+        u = [urows[6 * b + r] for r in range(6)] if explicit_u else \
+            [_urow_k(pt_ref, pbase, 2 + 6 * b + r) for r in range(6)]
         rd = vnormalize(rd)
 
         # bounce 0 only: primary rays are pixel-coherent, so whole-tile
@@ -925,3 +945,136 @@ def fused_trace(scene, ro, rd, pt, base, interpret=False):
             vmem_limit_bytes=100 * 1024 * 1024),
     )(rays, baser, ptr, t5, attrs, fac, lt, *tex_in, *aabb_in, cnt, wf)
     return V3(rx.reshape(-1)[:n], gx.reshape(-1)[:n], bx.reshape(-1)[:n])
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def fused_trace_uniforms(scene, ro, rd, uniforms, interpret=False):
+    '''fused_trace with an EXPLICIT random stream: uniforms [2 + 6 *
+    depth, N] exactly as path_trace consumes them (rows 0-1 are the
+    caller's lens jitter, ignored here).  This is the megakernel entry
+    for MLT chain replay (engine/mlt._replay): the chain state IS the
+    uniform block, so the in-kernel Sobol generator cannot serve it —
+    the rows ride a [6 * depth * RG, TR] VMEM block per ray tile
+    instead (reference MLTPathEngine runs the same megakernel as its
+    path engine with an RNGProxy stream, ptina/engine/mltpath.py:54-83,
+    ptina/sampling/__init__.py:53-64).'''
+    f = scene.tri_w2b.shape[0]
+    assert f <= MAX_FUSED_FACES
+    u6 = uniforms[2:]
+    d6 = u6.shape[0]
+    tr = _tr_for(f)
+    n = ro.x.shape[0]
+    block = RG * tr
+    npad = -n % block
+    rays = jnp.stack([ro.x, ro.y, ro.z, rd.x, rd.y, rd.z])  # [6, N]
+    if npad:
+        rays = jnp.pad(rays, ((0, 0), (0, npad)))
+        u6 = jnp.pad(u6, ((0, 0), (0, npad)))
+    nb = (n + npad) // block
+
+    # per-block row-major layout (see fused_trace)
+    rays = rays.reshape(6, nb, RG, tr).transpose(1, 0, 2, 3) \
+               .reshape(nb * 6 * RG, tr)
+    u6 = u6.reshape(d6, nb, RG, tr).transpose(1, 0, 2, 3) \
+           .reshape(nb * d6 * RG, tr)
+
+    t5 = pack_plucker(scene.tri_w2b)
+    attrs = pack_extract(scene.tri_w2b, scene.tri_attrs)
+    fac = _pack_materials(scene.materials)
+    lt = _pack_lights(scene.lights)
+    cnt = scene.lights.count.reshape(1, 1)
+    wf = scene.world_fac.reshape(1, 4)
+
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                      memory_space=pltpu.SMEM)
+    blk = lambda rows: pl.BlockSpec((rows, tr), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+
+    textured = scene.materials.textured
+    env_tex = scene.world_tex_id
+    t_, h_, w_, _ = scene.textures.data.shape
+    tex_in = []
+    tex_specs = []
+    if textured or env_tex >= 0:
+        texp, texdim = _pack_textures(scene.textures)
+        tex_in = [texp, texdim]
+        tex_specs = [full(texp.shape), smem(texdim.shape)]
+
+    cull = f > FACE_CHUNK
+    aabb_in = []
+    aabb_specs = []
+    scratch = []
+    if cull:
+        aabb = _pack_chunk_aabbs(scene.tri_pos, scene.nfaces)
+        aabb_in = [aabb]
+        aabb_specs = [smem(aabb.shape)]
+        scratch = [pltpu.VMEM((1, block), jnp.int32),
+                   pltpu.VMEM((attrs.shape[0], block), jnp.float32),
+                   pltpu.VMEM((1, block), jnp.float32)]
+
+    out_sh = jax.ShapeDtypeStruct((nb * RG, tr), jnp.float32)
+    rx, gx, bx = pl.pallas_call(
+        functools.partial(_path_kernel, interp=interpret,
+                          zero=scene.materials.zero,
+                          textured=textured, tex_hw=(h_, w_),
+                          env_tex=env_tex, lkinds=scene.lights.kinds,
+                          cull=cull, explicit_u=True),
+        grid=(nb,),
+        in_specs=[blk(6 * RG), blk(d6 * RG),
+                  full((5 * f, 14)), full(attrs.shape), full(fac.shape),
+                  full(lt.shape)] + tex_specs + aabb_specs
+                 + [smem((1, 1)), smem((1, 4))],
+        out_specs=[blk(RG)] * 3,
+        out_shape=[out_sh, out_sh, out_sh],
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=('parallel',),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(rays, u6, t5, attrs, fac, lt, *tex_in, *aabb_in, cnt, wf)
+    return V3(rx.reshape(-1)[:n], gx.reshape(-1)[:n], bx.reshape(-1)[:n])
+
+
+# ---------------------------------------------------------------------------
+# differentiable entry: megakernel forward, wavefront-recompute backward.
+# No autodiff exists THROUGH a Pallas kernel, so differentiable renders
+# used to force the whole forward pass onto the wavefront integrator —
+# ~20x slower where the megakernel is eligible.  The standard JAX idiom
+# for exactly this split is jax.custom_vjp: the primal value comes from
+# the megakernel; the backward pass re-traces the SAME path through the
+# wavefront integrator (engine/path.path_trace — pure jnp, fully
+# differentiable) and pulls the cotangent through that recomputation.
+# The two forwards agree to cast rounding (tests/test_fused.py parity),
+# and the gradients are BY CONSTRUCTION the wavefront gradients the FD
+# tests already validate (tests/test_grad.py).  Uniform rows get zero
+# cotangents (discrete sampling decisions; matches the detached-hit
+# estimator design, engine/path._cast_and_shade).
+# ---------------------------------------------------------------------------
+
+def _make_fused_trace_diff(interpret):
+    @jax.custom_vjp
+    def f(scene, ro, rd, uniforms):
+        return fused_trace_uniforms(scene, ro, rd, uniforms,
+                                    interpret=interpret)
+
+    def fwd(scene, ro, rd, uniforms):
+        return f(scene, ro, rd, uniforms), (scene, ro, rd, uniforms)
+
+    def bwd(res, g):
+        from ptina_tpu.engine.path import path_trace
+        scene, ro, rd, uniforms = res
+        _, vjp = jax.vjp(
+            lambda sc, o, d: path_trace(sc, o, d, uniforms),
+            scene, ro, rd)
+        dscene, dro, drd = vjp(g)
+        return dscene, dro, drd, jnp.zeros_like(uniforms)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+fused_trace_diff = _make_fused_trace_diff(False)
+# interpreter-mode twin so the vjp pairing is testable off-TPU
+fused_trace_diff_interp = _make_fused_trace_diff(True)

@@ -79,8 +79,16 @@ def mlt_init(key, nchains=2 ** 18, ndims=PATH_DIMS):
 
 def _replay(scene, x):
     '''Trace the path encoded by primary samples x [D, C]
-    (reference mltpath.py:67-69: dims 0,1 are the lens).'''
+    (reference mltpath.py:67-69: dims 0,1 are the lens).  Replay is
+    forward-only and uniforms-driven, so eligible scenes run the
+    whole-path megakernel with the chain state as the explicit random
+    stream (engine/fused.fused_trace_uniforms) — the reference's chains
+    run the same megakernel as its path engine (mltpath.py:54-83); the
+    wavefront integrator is the fallback.'''
     ro, rd = camera_rays(scene.cam_v2w, x[0] * 2.0 - 1.0, x[1] * 2.0 - 1.0)
+    from ptina_tpu.engine.fused import fused_eligible, fused_trace_uniforms
+    if fused_eligible(scene):
+        return fused_trace_uniforms(scene, ro, rd, x)
     return path_trace(scene, ro, rd, x)
 
 

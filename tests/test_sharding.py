@@ -49,6 +49,36 @@ def test_init_distributed_single_process_noop():
     assert is_distributed() is False
 
 
+def test_sharded_gradients_equal_single_device(eight_devices):
+    '''The psum'd data-parallel material gradient must EQUAL the
+    single-device gradient of the same full-film loss (equal-size film
+    bands make the pmean of local means the global mean), not merely
+    descend.'''
+    from ptina_tpu.film import film_to_image
+    from ptina_tpu.engine.path import render_sample
+
+    scene = cornell_box()
+    mesh = make_mesh(eight_devices)
+    nx, ny = 16, 8
+    target = jnp.zeros((nx, ny, 3))
+    film0 = new_film(nx, ny)
+    lr = 0.1
+    s1, _ = train_step_sharded(scene, film0, target, 0, mesh, lr=lr)
+    g_sharded = (np.asarray(scene.materials.fac)
+                 - np.asarray(s1.materials.fac)) / lr
+
+    def full_loss(fac):
+        sc = scene.replace(materials=scene.materials.replace(fac=fac))
+        film = render_sample(sc, film0, 0, fused=False)
+        img = film_to_image(film)[..., :3]
+        return jnp.mean((img - target) ** 2)
+
+    g_single = np.asarray(jax.grad(full_loss)(scene.materials.fac))
+    assert np.abs(g_single).max() > 0
+    assert np.allclose(g_sharded, g_single, rtol=1e-3,
+                       atol=1e-6 * max(np.abs(g_single).max(), 1e-9))
+
+
 def test_train_step_sharded_runs_and_descends(eight_devices):
     scene = cornell_box()
     mesh = make_mesh(eight_devices)

@@ -72,16 +72,25 @@ def run_worker(args):
     scene = cornell_box()
 
     if args.process_id is None:
-        # single-process 1-core baseline (best of 2 reps, like the
-        # distributed timing)
-        film = render(scene, new_film(res, res), 0, spp=spp, spb=1)
+        # single-process 1-core baseline through the SAME sharded-render
+        # executable on a 1-device mesh (round 4 timed the baseline
+        # through render(spb=1) — spp separate python-loop dispatches —
+        # against the workers' single fori_loop dispatch, and the
+        # dispatch-overhead asymmetry inflated "efficiency" past 1);
+        # median of 3 trials
+        from ptina_tpu.parallel.sharding import make_mesh, render_sharded
+        import numpy as np
+        mesh = make_mesh(jax.devices()[:1])
+        np_film = np.asarray(new_film(res, res))
+        film = render_sharded(scene, np_film, 0, mesh, spp=spp)
         float(jnp.sum(film))
-        dt = float('inf')
-        for _ in range(2):
+        dts = []
+        for _ in range(3):
             t0 = time.perf_counter()
-            film = render(scene, new_film(res, res), 0, spp=spp, spb=1)
+            film = render_sharded(scene, np_film, 0, mesh, spp=spp)
             float(jnp.sum(film))
-            dt = min(dt, time.perf_counter() - t0)
+            dts.append(time.perf_counter() - t0)
+        dt = sorted(dts)[1]
         print(json.dumps({'role': 'baseline', 'sps': spp / dt}), flush=True)
         return
 
@@ -106,15 +115,16 @@ def run_worker(args):
 
     # timing: spp samples through the sharded path, one sync (warm the
     # spp-specific executable first: _render_fn caches per (mesh, spp));
-    # best of 2 reps to shed scheduler noise on the shared host
+    # median of 3 trials to shed scheduler noise on the shared host
     film = render_sharded(scene, np_film, 0, mesh, spp=spp)
     float(jnp.sum(film))
-    dt = float('inf')
-    for _ in range(2):
+    dts = []
+    for _ in range(3):
         t0 = time.perf_counter()
         film = render_sharded(scene, np_film, 0, mesh, spp=spp)
         float(jnp.sum(film))
-        dt = min(dt, time.perf_counter() - t0)
+        dts.append(time.perf_counter() - t0)
+    dt = sorted(dts)[1]
     print(json.dumps({'role': f'worker{args.process_id}',
                       'sps': spp / dt, 'band_ok': band_ok,
                       'process_count': jax.process_count()}), flush=True)
@@ -150,10 +160,16 @@ def launch(args):
                                 if l.startswith('{')][-1]))
 
     sps2 = sum(o['sps'] for o in outs) / 2  # same global frame: one rate
-    eff = sps2 / baseline['sps']  # ideal = 1x: the frame splits across
-    # 2 procs so perfect scaling holds per-frame sps EQUAL to 1-core sps
-    # times 2/2... stated precisely: each proc does HALF the rays on its
-    # own core, so ideal sps_2proc == 2 * (sps_1core / 2) == sps_1core.
+    # sps here is FRAME-level (spp full-frame samples / wall time), so
+    # 2 procs each rendering half the frame on their own core would
+    # ideally halve the wall time: ideal sps_2proc = 2 * sps_1core and
+    #     efficiency = sps_2proc / (2 * sps_1core)  in (0, 1].
+    # (Round 4 reported sps_2proc / sps_1core AS the efficiency — a
+    # speedup mislabeled as an efficiency, which read as impossible
+    # superlinear scaling.)  Values > 1.05 would mean a broken
+    # measurement, so the reported number is clamped with the raw
+    # ratio preserved alongside.
+    eff_raw = sps2 / (2.0 * baseline['sps'])
     result = {
         'procs': 2,
         'devices_per_proc': 1,
@@ -161,11 +177,13 @@ def launch(args):
         'spp': args.spp,
         'sps_1core_singleproc': round(baseline['sps'], 3),
         'sps_2proc_global': round(sps2, 3),
-        'efficiency_vs_1core_ideal': round(eff, 3),
-        'formula': 'eff = sps_2proc / sps_1core; ideal sps_2proc equals '
-                   'sps_1core because each of the 2 single-core procs '
-                   'renders half the frame (frame-level rate, localhost '
-                   'DCN-free proxy)',
+        'efficiency': round(min(eff_raw, 1.05), 3),
+        'efficiency_raw': round(eff_raw, 3),
+        'formula': 'eff = sps_2proc / (2 * sps_1core), frame-level rates, '
+                   'each process taskset-pinned to its own physical core, '
+                   'baseline on ONE core through the SAME sharded-render '
+                   'executable (1-device mesh), median of 3 trials '
+                   '(localhost DCN-free proxy)',
         'band_allclose': all(o['band_ok'] for o in outs),
         'process_count_seen': [o['process_count'] for o in outs],
         'render_collectives': 0,
