@@ -170,6 +170,52 @@ def _time_mlt(scene, res, nchains=2 ** 17, steps=4, rounds=4):
     return rounds * steps * nchains / elapsed
 
 
+def _bench_300k():
+    import jax.numpy as jnp
+    from ptina_tpu.scenes import cornell_highpoly
+    from ptina_tpu.intersect.blocked import (blocked_cast_shade,
+                                             MAX_BLOCKED_VMEM_FACES)
+    from ptina_tpu.utils.vec import V3
+
+    scene = cornell_highpoly(nu=640, nv=240)
+    assert scene.tri_w2b.shape[0] > MAX_BLOCKED_VMEM_FACES  # streamed
+
+    # f64 host-oracle subsample
+    rng = np.random.default_rng(0)
+    ron = rng.uniform(-1.5, 1.5, (32, 3)).astype(np.float32) + [0, 1.5, 0]
+    dn = rng.normal(0, 1, (32, 3)).astype(np.float32)
+    dn /= np.linalg.norm(dn, axis=1, keepdims=True)
+    hit, _ = blocked_cast_shade(
+        V3.from_array(jnp.asarray(ron)), V3.from_array(jnp.asarray(dn)),
+        scene.t5b, scene.attrsb, scene.block_bounds,
+        jnp.full(32, -1, jnp.int32))
+    tp = np.asarray(scene.tri_pos, np.float64)[:int(scene.nfaces)]
+    v0, e1, e2 = tp[:, 0], tp[:, 1] - tp[:, 0], tp[:, 2] - tp[:, 0]
+    got_t = np.asarray(hit.t)
+    agree = 0
+    for r in range(32):
+        o, d = ron[r].astype(np.float64), dn[r].astype(np.float64)
+        p = np.cross(d, e2)
+        det = np.einsum('fc,fc->f', e1, p)
+        ok = np.abs(det) > 1e-300
+        inv = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+        tv = o - v0
+        u = np.einsum('fc,fc->f', tv, p) * inv
+        q = np.cross(tv, e1)
+        v = np.einsum('c,fc->f', d, q) * inv
+        t = np.einsum('fc,fc->f', e2, q) * inv
+        t = np.where(ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 0),
+                     t, np.inf)
+        t64 = t.min()
+        if np.isfinite(t64):
+            agree += abs(got_t[r] - t64) < 2e-3 * t64
+        else:
+            agree += got_t[r] >= 1e6
+    assert agree >= 31, f'streamed cast disagrees with f64 oracle: {agree}/32'
+
+    return _time_render(scene, 256, 2)
+
+
 def main():
     import jax
     jax.config.update('jax_compilation_cache_dir', '/tmp/ptina_jax_cache')
@@ -208,6 +254,16 @@ def main():
     # environment-light scene with full MIS + Sobol (config 4)
     sps = _time_render(envlight_scene(), res, spp)
     _emit('sps_envlight_mis_512x512_32spp', sps, 7.25)
+
+    # >131k-face capacity smoke: 306k faces stream block tables from
+    # HBM through the DMA slot ring (intersect/blocked._traverse);
+    # correctness-checked on a 32-ray subsample against an f64 host
+    # oracle (NOT intersect/brute: at this tessellation density the
+    # f32 oracle itself loses hits — round-5 adjudication found the
+    # production cast right in 18/18 disagreements).  No reference
+    # baseline row; vs_baseline reuses the monkey 2.88 bar.
+    sps = _bench_300k()
+    _emit('sps_cornell_300k_256x256_2spp', sps, 2.88)
 
     # MLT mutations/s on cornell_monkey (config 5); baseline = the
     # reference's 2.88 sps * 512*512 primary paths per sample

@@ -130,17 +130,21 @@ def mlt_step(scene, state, film, lsp=LSP, sigma=SIGMA, mode='kelemen'):
         # L/lum at both states, weighted by acceptance / its
         # complement; the normalization C / (b * npix) accumulates
         # uniformly in the sample-count channel so film_to_image's
-        # rgb/w division produces actual radiance.
+        # rgb/w division produces actual radiance.  Both states ride
+        # ONE concatenated scatter: a 131k-splat scatter costs ~6 ms
+        # on this chip and scales sub-linearly, so merging the two
+        # halves saves ~4 ms per chain step (measured round 5).
         w_new = accept / al_new
         w_old = (1.0 - accept) / al_old
         xi_n, yi_n = pix(x_new)
-        film = film_splat(film, 0, xi_n, yi_n, l_new.x * w_new,
-                          l_new.y * w_new, l_new.z * w_new,
-                          jnp.zeros((c,)))
         xi_o, yi_o = pix(state.x)
-        film = film_splat(film, 0, xi_o, yi_o, state.l.x * w_old,
-                          state.l.y * w_old, state.l.z * w_old,
-                          jnp.zeros((c,)))
+        film = film_splat(
+            film, 0,
+            jnp.concatenate([xi_n, xi_o]), jnp.concatenate([yi_n, yi_o]),
+            jnp.concatenate([l_new.x * w_new, state.l.x * w_old]),
+            jnp.concatenate([l_new.y * w_new, state.l.y * w_old]),
+            jnp.concatenate([l_new.z * w_new, state.l.z * w_old]),
+            jnp.zeros((2 * c,)))
         film = film.at[0, 3].add(c / (b * nx * ny))
 
     take = jax.random.uniform(k3, (c,)) < accept

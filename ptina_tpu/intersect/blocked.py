@@ -66,11 +66,13 @@ CAND_BITS = 12     # low bits of a packed candidate word = block id
 CAND_MASK = (1 << CAND_BITS) - 1  # caps scenes at 4096 blocks = 2^21
 # faces at BLOCK_FACES=512 (the reference LBVH's capacity, things.py:13)
 
-# VMEM-residency cap for the whole block-table working set (~480 B/face
-# packed: 320 t5 + 160 attrs).  131072 faces ~ 63 MB, inside the 100 MB
-# scoped budget.  Scenes beyond this need a streaming (DMA) traversal —
-# not currently wired (a first double-buffered variant deadlocked the
-# device; see _traverse).
+# VMEM-residency threshold for the whole block-table working set
+# (~480 B/face packed: 320 t5 + 160 attrs).  131072 faces ~ 63 MB,
+# inside the 100 MB scoped budget.  Scenes beyond it switch to the
+# STREAMED traversal (block tables stay in HBM; visited blocks DMA
+# through an EXIT_ROUND-slot VMEM ring — see _traverse), which lifts
+# capacity to CAND_BITS' 2^21 faces, the reference LBVH's cap
+# (ptina/things.py:13).
 MAX_BLOCKED_VMEM_FACES = 131072
 
 
@@ -188,15 +190,18 @@ def _unsort_shade(inv, hit, attrs):
     return hit, m[4:]
 
 
-TILES_PER_CALL = 512  # the [tiles, nb] packed-candidate table is a
-# scalar-prefetch SMEM operand and SMEM is 1 MB; big frames span
-# several pallas_calls over tile chunks (identical kernels — XLA
-# compiles one and reuses it)
+TILES_PER_CALL = 512  # upper bound on tiles per pallas_call; the real
+# cap adapts to the block count (see _tile_spans)
+SMEM_CAND_BUDGET = 800 * 1024  # bytes of SMEM the [tiles, nb]
+# packed-candidate prefetch table may use (SMEM is 1 MB; leave room
+# for the cnt row and control state).  Exceeding SMEM does NOT fail
+# loudly: a 306k-face scene (598 blocks) at 512 tiles/call silently
+# returned wrong candidates (round 5) — hence the hard adaptation.
 
 
-def _tile_spans(nt):
-    return [(s, min(s + TILES_PER_CALL, nt))
-            for s in range(0, nt, TILES_PER_CALL)]
+def _tile_spans(nt, nb):
+    per = max(1, min(TILES_PER_CALL, SMEM_CAND_BUDGET // (4 * max(nb, 1))))
+    return [(s, min(s + per, nt)) for s in range(0, nt, per)]
 
 
 def _tile_ray_bounds(o4, d4, tr):
@@ -294,7 +299,7 @@ EXIT_ROUND = 8  # visits per early-exit check: a vector->scalar sync
 # floor, the single biggest blocked-cast win of round 5.
 
 
-def _traverse(ce_ref, i, cnt, gate, visit):
+def _traverse(ce_ref, i, cnt, gate, visit, prefetch=None):
     '''Candidate traversal: rounds of EXIT_ROUND visits under a
     while_loop whose condition asks `gate(entry_bits)` — "can any ray
     still improve on a block whose conservative entry bound is this
@@ -303,10 +308,17 @@ def _traverse(ce_ref, i, cnt, gate, visit):
     pack time, so (all rays' t <= stored entry) really does imply no
     later block can strictly improve any ray — skipped visits change
     nothing (cross-block exact-t ties keep the earlier block either
-    way).  The block tables are VMEM-resident; visit() reads its block
-    by dynamic index, so there is no DMA machinery in the loop (an
-    earlier double-buffered HBM-DMA variant deadlocked the device; VMEM
-    residency caps the face count — see MAX_BLOCKED_VMEM_FACES).'''
+    way).
+
+    VMEM-resident tables (<= MAX_BLOCKED_VMEM_FACES): visit(j, slot)
+    reads its block by dynamic index, no DMA in the loop.  STREAMED
+    tables (prefetch given): each round first STARTS the DMAs for all
+    its visits' blocks into an EXIT_ROUND-slot VMEM ring, then each
+    visit waits on its own slot — every started copy is waited exactly
+    once inside the same round (no DMA state crosses while_loop
+    iterations, which is what deadlocked an earlier double-buffered
+    design), and the round's later copies overlap its earlier visits'
+    compute.'''
     nbslots = ce_ref.shape[1]
 
     def cond(r):
@@ -317,10 +329,15 @@ def _traverse(ce_ref, i, cnt, gate, visit):
 
     def body(r):
         base = r * EXIT_ROUND
+        if prefetch is not None:
+            for j in range(EXIT_ROUND):
+                @pl.when(base + j < cnt)
+                def _(j=j):
+                    prefetch(base + j, j)
         for j in range(EXIT_ROUND):
             @pl.when(base + j < cnt)
             def _(j=j):
-                visit(base + j)
+                visit(base + j, j)
         return r + 1
 
     jax.lax.while_loop(cond, body, jnp.int32(0))
@@ -329,7 +346,7 @@ def _traverse(ce_ref, i, cnt, gate, visit):
 def _blocked_shade_kernel(ce_ref, cnt_ref, q_ref, avoid_ref,
                           t5_ref, attr_ref,
                           t_ref, idx_ref, u_ref, v_ref, out_ref,
-                          interp=False, n_attr=6):
+                          *scratch, interp=False, n_attr=6, stream=False):
     i = pl.program_id(0)
     t_ref[:] = jnp.full(t_ref.shape, INF)
     idx_ref[:] = jnp.full(idx_ref.shape, -1, jnp.int32)
@@ -338,16 +355,45 @@ def _blocked_shade_kernel(ce_ref, cnt_ref, q_ref, avoid_ref,
     out_ref[:] = jnp.zeros(out_ref.shape)
     b = attr_ref.shape[2]
 
+    if stream:
+        t5_s, at_s, sem_t, sem_a = scratch
+
+        def copies(j, slot):
+            blk = ce_ref[i, j] & CAND_MASK
+            return (pltpu.make_async_copy(t5_ref.at[blk], t5_s.at[slot],
+                                          sem_t.at[slot]),
+                    pltpu.make_async_copy(attr_ref.at[blk], at_s.at[slot],
+                                          sem_a.at[slot]))
+
+        def prefetch(j, slot):
+            c1, c2 = copies(j, slot)
+            c1.start()
+            c2.start()
+
+        def tables(j, slot):
+            c1, c2 = copies(j, slot)
+            c1.wait()
+            c2.wait()
+            return t5_s[slot], at_s[slot]
+    else:
+        prefetch = None
+
+        def tables(j, slot):
+            blk = ce_ref[i, j] & CAND_MASK
+            return t5_ref[blk], attr_ref[blk]
+
     # thresholds/entries compare as i32 bit patterns (values >= 0 order
     # like floats; Mosaic has no scalar bitcast)
-    def visit(j):
+    def visit(j, slot):
         blk = ce_ref[i, j] & CAND_MASK
         base = blk * b
+        t5v, atv = tables(j, slot)
         # global `avoid` localized to this block ONCE per ray; the
         # shared core then works entirely in block-local face ids
         key, uw, vw, att = cast_closest_chunks(
-            t5_ref[blk], attr_ref[blk], q_ref[:], avoid_ref[:] - base,
-            interp, n_attr=n_attr, transposed=True)
+            t5v, atv, q_ref[:], avoid_ref[:] - base,
+            interp, n_attr=n_attr, transposed=True,
+            precision=jax.lax.Precision.HIGHEST if stream else None)
         tm = key_decode_t(key)  # miss decodes to NaN: better = False
         # strict < keeps the EARLIEST visited block on t ties; visits
         # run nearest-entry-first, and within a block the key already
@@ -368,21 +414,43 @@ def _blocked_shade_kernel(ce_ref, cnt_ref, q_ref, avoid_ref,
         tb = _i32v(t_ref[:])
         return jnp.sum((tb > ent).astype(jnp.int32)) > 0
 
-    _traverse(ce_ref, i, cnt_ref[i], gate, visit)
+    _traverse(ce_ref, i, cnt_ref[i], gate, visit, prefetch)
 
 
 def _blocked_mint_kernel(ce_ref, cnt_ref, q_ref, avoid_ref,
                          tmax_ref, t5_ref, t_ref,
-                         interp=False):
+                         *scratch, interp=False, stream=False):
     i = pl.program_id(0)
     t_ref[:] = jnp.full(t_ref.shape, INF)
     b = t5_ref.shape[2] // 5
 
-    def visit(j):
+    if stream:
+        t5_s, sem_t = scratch
+
+        def copy(j, slot):
+            blk = ce_ref[i, j] & CAND_MASK
+            return pltpu.make_async_copy(t5_ref.at[blk], t5_s.at[slot],
+                                         sem_t.at[slot])
+
+        def prefetch(j, slot):
+            copy(j, slot).start()
+
+        def table(j, slot):
+            copy(j, slot).wait()
+            return t5_s[slot]
+    else:
+        prefetch = None
+
+        def table(j, slot):
+            return t5_ref[ce_ref[i, j] & CAND_MASK]
+
+    def visit(j, slot):
         blk = ce_ref[i, j] & CAND_MASK
-        tm = cast_mint_chunks(t5_ref[blk], q_ref[:],
+        tm = cast_mint_chunks(table(j, slot), q_ref[:],
                               avoid_ref[:] - blk * b, interp,
-                              transposed=True)
+                              transposed=True,
+                              precision=jax.lax.Precision.HIGHEST
+                              if stream else None)
         t_ref[:] = jnp.minimum(t_ref[:], tm)
 
     def gate(ent):
@@ -392,12 +460,13 @@ def _blocked_mint_kernel(ce_ref, cnt_ref, q_ref, avoid_ref,
         live = (t_ref[:] >= tmax_ref[:]) & (_i32v(tmax_ref[:]) > ent)
         return jnp.sum(live.astype(jnp.int32)) > 0
 
-    _traverse(ce_ref, i, cnt_ref[i], gate, visit)
+    _traverse(ce_ref, i, cnt_ref[i], gate, visit, prefetch)
 
 
-@functools.partial(jax.jit, static_argnames=('interpret', 'sort', 'n_attr'))
+@functools.partial(jax.jit, static_argnames=('interpret', 'sort', 'n_attr',
+                                             'stream'))
 def blocked_cast_shade(ro, rd, t5b, attrsb, block_bounds, avoid,
-                       interpret=False, sort=True, n_attr=6):
+                       interpret=False, sort=True, n_attr=6, stream=None):
     '''Closest hit + interpolated attributes through the two-level cast.
     t5b/attrsb from blocked_tables.  Returns (Hit, attrs [C, N]).
     sort: pack rays into coherent tiles first (_coherence_order) —
@@ -405,13 +474,18 @@ def blocked_cast_shade(ro, rd, t5b, attrsb, block_bounds, avoid,
     visible effect is which block shades a cross-block EXACT t tie
     (measure-zero; the reference's BVH visit order is traversal-
     dependent there too).
-    n_attr: corner attribute channels in attrsb (6 = nrm3+uv2+mtl).'''
+    n_attr: corner attribute channels in attrsb (6 = nrm3+uv2+mtl).
+    stream: None = auto (scenes past MAX_BLOCKED_VMEM_FACES keep the
+    block tables in HBM and DMA visited blocks through a VMEM slot
+    ring — see _traverse); True/False forces the mode.  This lifts
+    capacity to the reference LBVH's 2^21 faces (ptina/things.py:13),
+    bounded by CAND_BITS rather than VMEM.'''
     nb, rows_t5, b5 = t5b.shape
-    assert nb * (b5 // 5) <= MAX_BLOCKED_VMEM_FACES, \
-        'scene exceeds the VMEM-resident blocked-cast cap'
     rows_at = attrsb.shape[1]
     c3 = 3 * n_attr
     b = b5 // 5
+    if stream is None:
+        stream = nb * b > MAX_BLOCKED_VMEM_FACES
     tr = BLOCKED_TR
     if sort:
         order, inv = _coherence_order(ro, rd, block_bounds)
@@ -427,21 +501,27 @@ def blocked_cast_shade(ro, rd, t5b, attrsb, block_bounds, avoid,
     full = lambda shape: pl.BlockSpec(shape, lambda i, *_: (0, 0, 0),
                                       memory_space=pltpu.VMEM)
 
+    if stream:
+        table_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+        scratch = [pltpu.VMEM((EXIT_ROUND, T5_ROWS, b5), jnp.float32),
+                   pltpu.VMEM((EXIT_ROUND, rows_at, b), jnp.float32),
+                   pltpu.SemaphoreType.DMA((EXIT_ROUND,)),
+                   pltpu.SemaphoreType.DMA((EXIT_ROUND,))]
+    else:
+        table_specs = [full(t5b.shape), full(attrsb.shape)]
+        scratch = []
     outs = []
-    for s, e in _tile_spans(nt):
+    for s, e in _tile_spans(nt, ce.shape[1]):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2, grid=(e - s,),
-            in_specs=[
-                lane(T5_ROWS), lane(1),
-                full(t5b.shape),     # whole table VMEM-resident
-                full(attrsb.shape),
-            ],
+            in_specs=[lane(T5_ROWS), lane(1)] + table_specs,
             out_specs=[lane(1), lane(1), lane(1), lane(1), lane(n_attr)],
+            scratch_shapes=scratch,
         )
         span = (e - s) * tr
         outs.append(pl.pallas_call(
             functools.partial(_blocked_shade_kernel, interp=interpret,
-                              n_attr=n_attr),
+                              n_attr=n_attr, stream=stream),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((1, span), jnp.float32),
@@ -478,12 +558,14 @@ def blocked_cast_closest(ro, rd, t5b, attrsb, block_bounds, avoid,
     return hit
 
 
-@functools.partial(jax.jit, static_argnames=('interpret', 'sort'))
+@functools.partial(jax.jit, static_argnames=('interpret', 'sort', 'stream'))
 def blocked_cast_any(ro, rd, t5b, block_bounds, avoid, tmax,
-                     interpret=False, sort=True):
+                     interpret=False, sort=True, stream=None):
     '''Occlusion cast: True where any face (except avoid) is hit at
-    0 < t < tmax.  sort: see blocked_cast_shade.'''
+    0 < t < tmax.  sort/stream: see blocked_cast_shade.'''
     nb, rows_t5, b5 = t5b.shape
+    if stream is None:
+        stream = nb * (b5 // 5) > MAX_BLOCKED_VMEM_FACES
     tr = BLOCKED_TR
     if sort:
         order, inv = _coherence_order(ro, rd, block_bounds)
@@ -501,18 +583,24 @@ def blocked_cast_any(ro, rd, t5b, block_bounds, avoid, tmax,
                                      memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(shape, lambda i, *_: (0, 0, 0),
                                       memory_space=pltpu.VMEM)
+    if stream:
+        table_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+        scratch = [pltpu.VMEM((EXIT_ROUND, T5_ROWS, b5), jnp.float32),
+                   pltpu.SemaphoreType.DMA((EXIT_ROUND,))]
+    else:
+        table_specs = [full(t5b.shape)]
+        scratch = []
     outs = []
-    for s, e in _tile_spans(nt):
+    for s, e in _tile_spans(nt, ce.shape[1]):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2, grid=(e - s,),
-            in_specs=[
-                lane(T5_ROWS), lane(1), lane(1),
-                full(t5b.shape),     # whole table VMEM-resident
-            ],
+            in_specs=[lane(T5_ROWS), lane(1), lane(1)] + table_specs,
             out_specs=[lane(1)],
+            scratch_shapes=scratch,
         )
         outs.append(pl.pallas_call(
-            functools.partial(_blocked_mint_kernel, interp=interpret),
+            functools.partial(_blocked_mint_kernel, interp=interpret,
+                              stream=stream),
             grid_spec=grid_spec,
             out_shape=[jax.ShapeDtypeStruct((1, (e - s) * tr), jnp.float32)],
             interpret=interpret,

@@ -160,17 +160,27 @@ def ray_features(o4, d4):
                             ox, oy, oz, one], axis=0)
 
 
-def chunk_uvwta_T(t5Tc, q):
+def chunk_uvwta_T(t5Tc, q, precision=None):
     '''Transposed-layout variant of chunk_uvwta: t5Tc [QR, 5FC] with the
     coefficient rows on the SUBLANE axis (QR = 14 padded up for DMA
     alignment; q padded to match with zero rows).  One dot_general
     contracting axis 0 of both operands — the MXU takes either
     orientation — so the blocked cast can DMA block tables whose minor
     dimension (5FC) is 128-aligned (Mosaic requires it for manual
-    HBM->VMEM slice copies; a [5FC, 14] minor-14 slice is rejected).'''
+    HBM->VMEM slice copies; a [5FC, 14] minor-14 slice is rejected).
+
+    precision: None = the TPU default single-pass bf16; the STREAMED
+    blocked tier (>131k faces, densest tessellations) passes HIGHEST
+    (exact f32) — round-5 f64 adjudication found the bf16 truncation
+    produced phantom hits and off-by-a-face winners on ~3e-5-area
+    triangles (while at <=131k density the errors stay at the
+    adjacent-coplanar-face level both oracles share).  Mosaic supports
+    only DEFAULT and HIGHEST; HIGHEST costs ~4x on this matmul-layout-
+    bound kernel, hence the tiering.'''
     fc = t5Tc.shape[1] // 5
     g = jax.lax.dot_general(t5Tc, q, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=precision)
     return (g[0:fc], g[fc:2 * fc], g[2 * fc:3 * fc], g[3 * fc:4 * fc],
             g[4 * fc:5 * fc])
 
@@ -233,7 +243,7 @@ def key_decode_t(key, fid_mask=KEY_FID_MASK):
 
 def cast_closest_chunks(t5, ext, q, avoid, interp=False,
                         fid_mask=KEY_FID_MASK, n_attr=0,
-                        transposed=False):
+                        transposed=False, precision=None):
     '''Closest hit + exact barycentrics (+ optionally interpolated
     corner attributes) for one ray tile.
 
@@ -268,7 +278,7 @@ def cast_closest_chunks(t5, ext, q, avoid, interp=False,
         fc = min(FACE_CHUNK, f - ci * FACE_CHUNK)
         if transposed:
             t5c = t5[:, 5 * ci * FACE_CHUNK:5 * ci * FACE_CHUNK + 5 * fc]
-            U, V, W, B, An = chunk_uvwta_T(t5c, q)
+            U, V, W, B, An = chunk_uvwta_T(t5c, q, precision)
         else:
             t5c = t5[5 * ci * FACE_CHUNK:5 * ci * FACE_CHUNK + 5 * fc]
             U, V, W, B, An = chunk_uvwta(t5c, q)
@@ -316,7 +326,7 @@ def cast_closest_chunks(t5, ext, q, avoid, interp=False,
 
 
 def cast_mint_chunks(t5, q, avoid, interp=False, transposed=False,
-                     farclip=True):
+                     farclip=True, precision=None):
     '''Nearest valid t per ray, [1, NR] f32 (INF = no hit), chunked like
     cast_closest_chunks.  The batched occlusion test: compare against
     the light distance wherever that value lives cheaply.
@@ -332,7 +342,7 @@ def cast_mint_chunks(t5, q, avoid, interp=False, transposed=False,
         fc = min(FACE_CHUNK, f - ci * FACE_CHUNK)
         if transposed:
             t5c = t5[:, 5 * ci * FACE_CHUNK:5 * ci * FACE_CHUNK + 5 * fc]
-            U, V, W, B, An = chunk_uvwta_T(t5c, q)
+            U, V, W, B, An = chunk_uvwta_T(t5c, q, precision)
         else:
             t5c = t5[5 * ci * FACE_CHUNK:5 * ci * FACE_CHUNK + 5 * fc]
             U, V, W, B, An = chunk_uvwta(t5c, q)

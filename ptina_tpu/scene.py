@@ -195,7 +195,15 @@ def precompute_tri_functionals(tri_pos):
     # scalar triple product, u(v0+e1) = n.(e1 x e2)/n.n = 1 and v(v0+e2) = 1.
     gu = cross(e2, n) * inv_nn[:, None]
     gv = cross(n, e1) * inv_nn[:, None]
-    n = jnp.where(ok[:, None], n, 0.0)
+    # NORMALIZE the plane row: |n| scales with triangle AREA, so on a
+    # densely tessellated mesh (~3e-5-area faces at 300k) the raw cross
+    # product made b0 = n . d fall below brute.cast's 1e-6 parallel-ray
+    # epsilon for EVERY ray — real hits rejected — and fed the Plücker
+    # core coefficients with a huge dynamic range (round 5).  t = -a0/b0
+    # is invariant under positive row scaling, so every consumer agrees;
+    # with a unit normal the epsilon means "within 1e-6 of parallel".
+    n = n * jnp.where(ok, 1.0 / jnp.sqrt(jnp.where(ok, nn, 1.0)),
+                      0.0)[:, None]
     rows = jnp.stack([
         jnp.concatenate([n, -dot(n, v0)[:, None]], axis=-1),
         jnp.concatenate([gu, -dot(gu, v0)[:, None]], axis=-1),

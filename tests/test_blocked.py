@@ -134,3 +134,33 @@ def test_blocked_any_matches_brute():
                            avoid, tmax, interpret=True)
     ref = brute.cast_any(ro, rd, scene.tri_w2b, avoid, tmax)
     np.testing.assert_array_equal(np.asarray(occ), np.asarray(ref))
+
+
+def test_blocked_streamed_matches_resident():
+    '''The STREAMED traversal (block tables in HBM, visited blocks
+    DMA'd through the VMEM slot ring — the >131k-face capacity path)
+    must agree with the VMEM-resident traversal exactly.  Forced on a
+    small scene via stream=True; interpret mode executes the DMAs as
+    copies.'''
+    scene = _cluster_scene()
+    ro, rd = _rays(seed=7)
+    avoid = jnp.full(96, -1, jnp.int32)
+    t5b, attrsb = blocked_tables(scene.tri_w2b, scene.tri_attrs,
+                                 BLOCK_FACES)
+    hit_r, at_r = blocked_cast_shade(ro, rd, t5b, attrsb,
+                                     scene.block_bounds, avoid,
+                                     interpret=True, stream=False)
+    hit_s, at_s = blocked_cast_shade(ro, rd, t5b, attrsb,
+                                     scene.block_bounds, avoid,
+                                     interpret=True, stream=True)
+    np.testing.assert_array_equal(np.asarray(hit_r.index),
+                                  np.asarray(hit_s.index))
+    np.testing.assert_array_equal(np.asarray(hit_r.t), np.asarray(hit_s.t))
+    np.testing.assert_array_equal(np.asarray(at_r), np.asarray(at_s))
+
+    tmax = jnp.full(96, 25.0)
+    occ_r = blocked_cast_any(ro, rd, t5b, scene.block_bounds, avoid,
+                             tmax, interpret=True, stream=False)
+    occ_s = blocked_cast_any(ro, rd, t5b, scene.block_bounds, avoid,
+                             tmax, interpret=True, stream=True)
+    np.testing.assert_array_equal(np.asarray(occ_r), np.asarray(occ_s))
