@@ -61,7 +61,9 @@ MAX_FUSED_TEX_BINDINGS = 8  # unrolled (material, param, texid) triples
 
 def _tr_for(f):
     # the cast works set is bounded per FACE_CHUNK (not per F), so the
-    # lane tile stays wide regardless of face count
+    # lane tile stays wide regardless of face count.  (Swept round 5:
+    # TR=1024 measured 671 sps on cornell vs 512's ~685; SPB=16
+    # measured 668 — both knobs stay put.)
     return 512
 
 

@@ -77,20 +77,20 @@ def main():
     full = time_variant('full kernel', scene)
 
     # no shadow cast: NEE treats everything unoccluded
-    F._tile_cast_mint = lambda t5, ro, rd, avoid, o, z, i: \
+    F._tile_cast_mint = lambda t5, ro, rd, avoid, o, z, i, **kw: \
         jnp.full(ro.x.shape, 1e6)
     time_variant('- shadow cast', scene)
     F._tile_cast_mint = orig_any
 
     # no disney_sample: bounce straight up with pdf 1
-    def fake_sample(p, normal, sign, indir, su, sv, sw):
+    def fake_sample(p, normal, sign, indir, su, sv, sw, zero=()):
         return normal, jnp.ones_like(su), p['basecolor']
     F.disney_sample = fake_sample
     time_variant('- disney_sample', scene)
     F.disney_sample = orig_sample
 
     # no disney_eval (NEE brdf): constant grey
-    def fake_eval(p, normal, sign, indir, outdir):
+    def fake_eval(p, normal, sign, indir, outdir, zero=()):
         t = jnp.full_like(sign, 0.1)
         return V3(t, t, t)
     F.disney_eval = fake_eval
@@ -98,11 +98,11 @@ def main():
     F.disney_eval = orig_eval
 
     # no light queries
-    def fake_lh(lt, count, ro, rd):
+    def fake_lh(lt, count, ro, rd, kinds=None):
         z = jnp.zeros(ro.x.shape)
         return z > 1, z + 1e6, z, V3(z, z, z)
 
-    def fake_ls(lt, count, hitpos, su, sv, sz):
+    def fake_ls(lt, count, hitpos, su, sv, sz, kinds=None):
         z = jnp.zeros(hitpos.x.shape)
         return z + 1e6, V3(z, z + 1, z), z + 1.0, V3(z + 1, z + 1, z + 1)
     F._lights_hit_k = fake_lh
@@ -112,29 +112,30 @@ def main():
     F._lights_sample_k = orig_ls
 
     # no material table fetch: defaults row only
-    def fake_fm(fac, mtlid):
+    def fake_fm(fac, mtlid, mtl_lanes=None, tr=None):
         from ptina_tpu.materials.disney import disney_derive
         from ptina_tpu.scene import MATERIAL_PARAMS
         sh = mtlid.shape
-        params = {'basecolor': V3(jnp.full(sh, 0.8), jnp.full(sh, 0.8),
-                                  jnp.full(sh, 0.8))}
+        base = V3(jnp.full(sh, 0.8), jnp.full(sh, 0.8), jnp.full(sh, 0.8))
         m1 = fac.shape[1]  # -1 would be a dynamic_slice inside Pallas
-        for i, nm in enumerate(MATERIAL_PARAMS[1:]):
-            params[nm] = jnp.broadcast_to(fac[3 + i, m1 - 1], sh)
-        return disney_derive(params)
+        scal = [jnp.broadcast_to(fac[3 + i, m1 - 1], sh)
+                for i in range(11)]
+        return base, scal
     F._fetch_material_k = fake_fm
     time_variant('- material fetch', scene)
     F._fetch_material_k = orig_fm
 
     # closest cast replaced by a fixed plane hit (floor-ish)
-    def fake_closest(t5, attrs, ro, rd, avoid_lanes, ones1, zeros1, interp):
+    def fake_closest(t5, attrs, ro, rd, avoid_lanes, ones1, zeros1, interp,
+                     conds=None, key_ref=None, ext_ref=None):
         sh = ro.x.shape
         t = jnp.full(sh, 2.0)
         idx = jnp.zeros(sh, jnp.int32)
         idx_lanes = jnp.zeros((1, sh[0] * sh[1]), jnp.int32)
         zero = jnp.zeros(sh)
         a6 = [zero, zero, jnp.ones(sh), zero, zero, zero]
-        return t, idx, idx_lanes, a6
+        a6_lanes = jnp.zeros((6, sh[0] * sh[1]))
+        return t, idx, idx_lanes, a6, a6_lanes
     F._tile_cast_closest = fake_closest
     time_variant('- closest cast', scene)
     F._tile_cast_closest = orig_closest
