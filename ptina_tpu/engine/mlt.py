@@ -59,21 +59,21 @@ class MLTState:
     l: V3               # cached radiance, [C] rows
     b_sum: jnp.ndarray  # [] running sum of large-step luminances
     b_cnt: jnp.ndarray  # [] number of large-step proposals seen
-    key: jnp.ndarray    # PRNG key
+    step: jnp.ndarray   # [] i32 mutation-round counter (drives the
+    # wang-hash proposal streams; jax.random's threefry cost ~2.6 ms of
+    # a ~20 ms chain step for the same [D, C] block — round 5)
 
 
 def mlt_init(key, nchains=2 ** 18, ndims=PATH_DIMS):
-    '''Fresh chains (reference reset(), mltpath.py:30-36).'''
-    kx, knext = jax.random.split(key)
-    # three distinct buffers: render_mlt donates the state, and donating
-    # one shared zeros buffer for x/y/z trips "donate the same buffer twice"
+    '''Fresh chains (reference reset(), mltpath.py:30-36).  `key` seeds
+    the initial primary samples; stepping uses counter-hashed streams.'''
     return MLTState(
-        x=jax.random.uniform(kx, (ndims, nchains)),
+        x=jax.random.uniform(key, (ndims, nchains)),
         l=V3(jnp.zeros((nchains,)), jnp.zeros((nchains,)),
              jnp.zeros((nchains,))),
         b_sum=jnp.zeros(()),
         b_cnt=jnp.zeros(()),
-        key=knext,
+        step=jnp.zeros((), jnp.int32),
     )
 
 
@@ -96,10 +96,16 @@ def mlt_step(scene, state, film, lsp=LSP, sigma=SIGMA, mode='kelemen'):
     '''One mutation round for every chain.  Returns (state, film).'''
     d, c = state.x.shape
     nx, ny = film.shape[2], film.shape[3]
-    k1, k2, k3, knext = jax.random.split(state.key, 4)
-
-    large = jax.random.uniform(k1, (c,)) < lsp
-    fresh = jax.random.uniform(k2, (d, c))
+    # counter-hashed proposal streams (sampling.hash_uniform family,
+    # the same generator the pixel streams use): dims 0..d-1 are the
+    # proposal block, d the large-step coin, d+1 the acceptance roll
+    from ptina_tpu.sampling import hash_uniform
+    chain = jnp.arange(c, dtype=jnp.int32)
+    dim = jnp.arange(d + 2, dtype=jnp.int32)[:, None]
+    # golden-ratio stride 0x9e3779b9 as its signed-i32 bit pattern
+    u = hash_uniform(state.step * jnp.int32(-1640531527) + dim, chain)
+    large = u[d] < lsp
+    fresh = u[:d]
     mutated = jnp.mod(state.x + sigma * normaldist(fresh), 1.0)
     x_new = jnp.where(large[None, :], fresh, mutated)
 
@@ -147,13 +153,13 @@ def mlt_step(scene, state, film, lsp=LSP, sigma=SIGMA, mode='kelemen'):
             jnp.zeros((2 * c,)))
         film = film.at[0, 3].add(c / (b * nx * ny))
 
-    take = jax.random.uniform(k3, (c,)) < accept
+    take = u[d + 1] < accept
     return MLTState(
         x=jnp.where(take[None, :], x_new, state.x),
         l=vwhere(take, l_new, state.l),
         b_sum=b_sum,
         b_cnt=b_cnt,
-        key=knext,
+        step=state.step + 1,
     ), film
 
 
