@@ -19,10 +19,12 @@ same code (materials/disney.py etc. are pure jnp functions, so they
 trace directly inside the kernel on [1, TR] rows).
 
 Eligibility (dispatched by engine/path.render_sample at trace time):
-TPU backend, face table <= MAX_FUSED_FACES, no textures (texture
-gathers don't vectorize inside the tile), constant environment.
-Differentiable renders use the wavefront path (no autodiff through the
-megakernel); this kernel is the fast *forward* renderer.
+TPU backend, face table <= MAX_FUSED_FACES, texture atlas within the
+in-VMEM fetch budget (MAX_FUSED_TEX_BYTES / MAX_FUSED_TEX_BINDINGS).
+The kernel is forward-only; differentiable renders pair it with a
+wavefront-recompute backward via jax.custom_vjp (fused_trace_diff),
+and MLT chain replay feeds it explicit uniform rows
+(fused_trace_uniforms).
 '''
 
 import functools
