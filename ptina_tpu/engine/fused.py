@@ -47,7 +47,8 @@ from ptina_tpu.utils.mathutils import safe_sqrt
 from ptina_tpu.utils.vec import vspherical
 
 __all__ = ['MAX_FUSED_FACES', 'MAX_FUSED_TEX_BYTES', 'fused_eligible',
-           'fused_trace', 'fused_trace_uniforms', 'fused_trace_diff']
+           'fused_trace', 'fused_trace_primary', 'fused_trace_uniforms',
+           'fused_trace_diff']
 
 MAX_FUSED_FACES = 2560  # per-chunk working set is bounded (FACE_CHUNK),
 # so this cap is about total VMEM tables + the unrolled chunk-loop's
@@ -625,17 +626,40 @@ def _tile_cast_mint(t5, ro, rd, avoid_lanes, ones1, zeros1, interp,
     return _lanes_to_rows(t_ref[:], tr)[0]
 
 
+def _cam_rays_k(cam_ref, x, y):
+    '''camera.camera_rays (unproject-two-points) on [RG, TR] NDC tiles
+    with the view->world 4x4 read from SMEM as a row-major [1, 16].'''
+    def m(i, j):
+        return cam_ref[0, 4 * i + j]
+
+    def unproject(z):
+        px = m(0, 0) * x + m(0, 1) * y + m(0, 2) * z + m(0, 3)
+        py = m(1, 0) * x + m(1, 1) * y + m(1, 2) * z + m(1, 3)
+        pz = m(2, 0) * x + m(2, 1) * y + m(2, 2) * z + m(2, 3)
+        pw = m(3, 0) * x + m(3, 1) * y + m(3, 2) * z + m(3, 3)
+        inv = 1.0 / pw
+        return V3(px * inv, py * inv, pz * inv)
+
+    ro = unproject(-1.0)
+    ro1 = unproject(1.0)
+    return ro, vnormalize(ro1 - ro)
+
+
 def _path_kernel(rays_ref, *refs,
                  interp=False, zero=(), textured=(), tex_hw=(1, 1),
                  env_tex=-1, lkinds=('point', 'area'), cull=False,
-                 explicit_u=False):
+                 explicit_u=False, primary=None):
     # positional ref tail: [base, pt (in-kernel RNG) | u (explicit
-    # uniforms, MLT replay)], the scene tables, [texp, texdim
-    # (texture-using scenes only)], [aabb (multi-chunk scenes only)],
-    # cnt, wf inputs, the r/g/b outputs, then [key/ext/t scratch
-    # (multi-chunk only)]
+    # uniforms, MLT replay) | pt (primary mode: rays_ref IS the SMEM
+    # camera matrix)], the scene tables, [texp, texdim (texture-using
+    # scenes only)], [aabb (multi-chunk scenes only)], cnt, wf inputs,
+    # the r/g/b outputs, then [key/ext/t scratch (multi-chunk only)]
     refs = list(refs)
-    if explicit_u:
+    if primary is not None:
+        cam_ref = rays_ref
+        pt_ref = refs.pop(0)
+        base_ref = u_ref = None
+    elif explicit_u:
         u_ref = refs.pop(0)
         base_ref = pt_ref = None
     else:
@@ -659,19 +683,50 @@ def _path_kernel(rays_ref, *refs,
         texp_ref = texdim_ref = None
     aabb_ref = refs.pop(0) if cull else None
     cnt_ref, wf_ref, r_ref, g_ref, b_ref = refs
-    tr = rays_ref.shape[1]
-    rr = rays_ref[:].reshape(6, RG, tr)
-    ro = V3(rr[0], rr[1], rr[2])
-    rd = V3(rr[3], rr[4], rr[5])
-    if explicit_u:
-        urows = u_ref[:].reshape(-1, RG, tr)  # [6 * depth, RG, tr]
-        depth = urows.shape[0] // 6
-        pbase = None
-    else:
-        pbase = base_ref[:]  # per-pixel rotation hash rows
+    if primary is not None:
+        # PRIMARY mode: generate the camera rays in-kernel from the
+        # global ray index — no [6, N] ray block ever touches HBM, and
+        # the per-dispatch XLA prologue (lens rotation, camera matmul,
+        # ray packing) disappears.  Pixel ids come from an exact
+        # float-reciprocal division by the static row length (p < 2^24;
+        # one-step correction makes the quotient exact).
+        nx_, ny_, x0_, y0_, fnx_, fny_, tr = primary
+        gi = pl.program_id(0)
+        p = (gi * (RG * tr)
+             + jax.lax.broadcasted_iota(jnp.int32, (RG, tr), 0) * tr
+             + jax.lax.broadcasted_iota(jnp.int32, (RG, tr), 1))
+        fp = p.astype(jnp.float32)
+        iia = jnp.floor(fp * jnp.float32(1.0 / ny_)).astype(jnp.int32)
+        rem = p - iia * ny_
+        iia = iia + (rem >= ny_).astype(jnp.int32) \
+            - (rem < 0).astype(jnp.int32)
+        jja = p - iia * ny_
+        ii = x0_ + iia
+        jj = y0_ + jja
+        # sampling.wanghash2 on i32 bit patterns (== its u32 math)
+        pbase = _wanghash_k(_wanghash_k(ii) + jj)
         dims = pt_ref.shape[1]
-        depth = (dims - 2) // 6  # bounce cap rides in the Sobol rows
+        depth = (dims - 2) // 6
+        u0 = _urow_k(pt_ref, pbase, 0)
+        u1 = _urow_k(pt_ref, pbase, 1)
+        x = (ii.astype(jnp.float32) + u0) / fnx_ * 2.0 - 1.0
+        y = (jj.astype(jnp.float32) + u1) / fny_ * 2.0 - 1.0
+        ro, rd = _cam_rays_k(cam_ref, x, y)
         urows = None
+    else:
+        tr = rays_ref.shape[1]
+        rr = rays_ref[:].reshape(6, RG, tr)
+        ro = V3(rr[0], rr[1], rr[2])
+        rd = V3(rr[3], rr[4], rr[5])
+        if explicit_u:
+            urows = u_ref[:].reshape(-1, RG, tr)  # [6 * depth, RG, tr]
+            depth = urows.shape[0] // 6
+            pbase = None
+        else:
+            pbase = base_ref[:]  # per-pixel rotation hash rows
+            dims = pt_ref.shape[1]
+            depth = (dims - 2) // 6  # bounce cap in the Sobol rows
+            urows = None
     t5 = m_all_ref[:]
     attrs = attr_ref[:]
     fac = fac_ref[:]
@@ -1038,6 +1093,90 @@ def fused_trace_uniforms(scene, ro, rd, uniforms, interpret=False):
             dimension_semantics=('parallel',),
             vmem_limit_bytes=100 * 1024 * 1024),
     )(rays, u6, t5, attrs, fac, lt, *tex_in, *aabb_in, cnt, wf)
+    return V3(rx.reshape(-1)[:n], gx.reshape(-1)[:n], bx.reshape(-1)[:n])
+
+
+@functools.partial(jax.jit, static_argnames=('nx', 'ny', 'x0', 'y0',
+                                             'fnx', 'fny', 'interpret'))
+def fused_trace_primary(scene, pt, nx, ny, x0=0, y0=0, fnx=None, fny=None,
+                        interpret=False):
+    '''One whole progressive sample in ONE kernel: the camera rays for
+    the (nx, ny) film tile at offset (x0, y0) are generated IN-KERNEL
+    (pixel ids -> wanghash rotation -> lens-jittered NDC -> unproject,
+    _cam_rays_k), so the only HBM traffic is the radiance out.  This is
+    the production forward entry for eligible scenes
+    (engine/path.render_sample); fused_trace keeps the explicit-ray
+    form for callers that build their own rays.'''
+    f = scene.tri_w2b.shape[0]
+    assert f <= MAX_FUSED_FACES
+    fnx = fnx if fnx is not None else nx
+    fny = fny if fny is not None else ny
+    dims = pt.shape[0]
+    tr = _tr_for(f)
+    n = nx * ny
+    block = RG * tr
+    npad = -n % block
+    nb = (n + npad) // block
+    cam = scene.cam_v2w.reshape(1, 16)
+    ptr = pt.reshape(1, dims)
+
+    t5 = pack_plucker(scene.tri_w2b)
+    attrs = pack_extract(scene.tri_w2b, scene.tri_attrs)
+    fac = _pack_materials(scene.materials)
+    lt = _pack_lights(scene.lights)
+    cnt = scene.lights.count.reshape(1, 1)
+    wf = scene.world_fac.reshape(1, 4)
+
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                      memory_space=pltpu.SMEM)
+    blk = lambda rows: pl.BlockSpec((rows, tr), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)
+
+    textured = scene.materials.textured
+    env_tex = scene.world_tex_id
+    t_, h_, w_, _ = scene.textures.data.shape
+    tex_in = []
+    tex_specs = []
+    if textured or env_tex >= 0:
+        texp, texdim = _pack_textures(scene.textures)
+        tex_in = [texp, texdim]
+        tex_specs = [full(texp.shape), smem(texdim.shape)]
+
+    cull = f > FACE_CHUNK
+    aabb_in = []
+    aabb_specs = []
+    scratch = []
+    if cull:
+        aabb = _pack_chunk_aabbs(scene.tri_pos, scene.nfaces)
+        aabb_in = [aabb]
+        aabb_specs = [smem(aabb.shape)]
+        scratch = [pltpu.VMEM((1, block), jnp.int32),
+                   pltpu.VMEM((attrs.shape[0], block), jnp.float32),
+                   pltpu.VMEM((1, block), jnp.float32)]
+
+    out_sh = jax.ShapeDtypeStruct((nb * RG, tr), jnp.float32)
+    rx, gx, bx = pl.pallas_call(
+        functools.partial(_path_kernel, interp=interpret,
+                          zero=scene.materials.zero,
+                          textured=textured, tex_hw=(h_, w_),
+                          env_tex=env_tex, lkinds=scene.lights.kinds,
+                          cull=cull,
+                          primary=(nx, ny, x0, y0, fnx, fny, tr)),
+        grid=(nb,),
+        in_specs=[smem((1, 16)), smem((1, dims)),
+                  full((5 * f, 14)), full(attrs.shape), full(fac.shape),
+                  full(lt.shape)] + tex_specs + aabb_specs
+                 + [smem((1, 1)), smem((1, 4))],
+        out_specs=[blk(RG)] * 3,
+        out_shape=[out_sh, out_sh, out_sh],
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=('parallel',),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(cam, ptr, t5, attrs, fac, lt, *tex_in, *aabb_in, cnt, wf)
     return V3(rx.reshape(-1)[:n], gx.reshape(-1)[:n], bx.reshape(-1)[:n])
 
 

@@ -209,21 +209,16 @@ def render_sample(scene, film, sample_index, x0=0, y0=0, full_res=None,
     dims = 2 + 6 * max_depth
 
     if model == 'disney' and (fused is None or fused):
-        from ptina_tpu.engine.fused import fused_eligible, fused_trace
+        from ptina_tpu.engine.fused import (fused_eligible,
+                                            fused_trace_primary)
         if fused or fused_eligible(scene):
-            # megakernel path: the bounce uniforms are generated
-            # IN-KERNEL from (sobol point, pixel hash) — only the two
-            # lens dims are materialized here for the camera jitter
-            from ptina_tpu.sampling import wanghash2
-            from ptina_tpu.sampling.sobol import sobol_block, pixel_rotation
-            base = wanghash2(ii, jj)
+            # megakernel path: camera rays AND the full random stream
+            # are generated IN-KERNEL from the per-sample Sobol point —
+            # nothing per-ray is materialized on the XLA side at all
+            from ptina_tpu.sampling.sobol import sobol_block
             pt = sobol_block(sample_index, dims)
-            rot2 = rot[:2] if rot is not None else pixel_rotation(ii, jj, 2)
-            u01 = jnp.mod(pt[:2, None] + rot2, 1.0)
-            x = (ii.astype(jnp.float32) + u01[0]) / fnx * 2.0 - 1.0
-            y = (jj.astype(jnp.float32) + u01[1]) / fny * 2.0 - 1.0
-            ro, rd = camera_rays(scene.cam_v2w, x, y)
-            rad = fused_trace(scene, ro, rd, pt, base)
+            rad = fused_trace_primary(scene, pt, nx, ny, x0=x0, y0=y0,
+                                      fnx=fnx, fny=fny)
             return film_add(film, 0, rad.x, rad.y, rad.z,
                             jnp.ones_like(rad.x))
 
@@ -250,10 +245,16 @@ def _render_step(scene, film, sample_index, model='disney', spb=1,
                              max_depth=max_depth)
     # the per-pixel rotation is sample-invariant: compute it ONCE per
     # dispatch, not per scanned sample (measured 1.8 ms/sample at
-    # 512x512 — formerly 60% of the whole budget; see sample_dims)
+    # 512x512 — formerly 60% of the whole budget; see sample_dims).
+    # Megakernel-eligible scenes generate it in-kernel and skip the
+    # [dims, N] block entirely.
     _, _, nx, ny = film.shape
-    ii, jj = pixel_grid(nx, ny)
-    rot = pixel_rotation(ii, jj, 2 + 6 * max_depth)
+    from ptina_tpu.engine.fused import fused_eligible
+    if model == 'disney' and fused_eligible(scene):
+        rot = None
+    else:
+        ii, jj = pixel_grid(nx, ny)
+        rot = pixel_rotation(ii, jj, 2 + 6 * max_depth)
     film, _ = jax.lax.scan(
         lambda f, s: (render_sample(scene, f, s, model=model,
                                     max_depth=max_depth, rot=rot), None),

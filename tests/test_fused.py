@@ -55,6 +55,28 @@ def test_fused_matches_wavefront():
     assert abs(a.mean() - b.mean()) < 2e-3 * max(b.mean(), 1e-6)
 
 
+def test_fused_primary_matches_wavefront():
+    '''The fully-fused production entry (fused_trace_primary: camera
+    rays, lens jitter and the whole bounce stream generated in-kernel)
+    must agree with the wavefront integrator fed the SAME Sobol/
+    rotation streams built on the XLA side.'''
+    from ptina_tpu.engine.fused import fused_trace_primary
+    scene = cornell_box()
+    res = 16
+    ro, rd, u, pt, base = _primary(scene, res)
+    interpret = jax.default_backend() != 'tpu'
+    rad_f = fused_trace_primary(scene, pt, res, res, interpret=interpret)
+    rad_w = path_trace(scene, ro, rd, u)
+    a = np.stack([np.asarray(rad_f.x), np.asarray(rad_f.y),
+                  np.asarray(rad_f.z)])
+    b = np.stack([np.asarray(rad_w.x), np.asarray(rad_w.y),
+                  np.asarray(rad_w.z)])
+    assert np.isfinite(a).all()
+    d = np.abs(a - b).max(axis=0)
+    assert (d < 1e-3).mean() > 0.95, f'{(d >= 1e-3).mean():.3f} paths differ'
+    assert abs(a.mean() - b.mean()) < 2e-3 * max(b.mean(), 1e-6)
+
+
 def test_fused_uniforms_matches_wavefront():
     '''The explicit-uniforms megakernel entry (MLT chain replay,
     fused_trace_uniforms) must reproduce path_trace on the SAME uniform
