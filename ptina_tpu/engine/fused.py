@@ -657,6 +657,7 @@ def _path_kernel(rays_ref, *refs,
     refs = list(refs)
     if primary is not None:
         cam_ref = rays_ref
+        off_ref = refs.pop(0)
         pt_ref = refs.pop(0)
         base_ref = u_ref = None
     elif explicit_u:
@@ -690,7 +691,9 @@ def _path_kernel(rays_ref, *refs,
         # ray packing) disappears.  Pixel ids come from an exact
         # float-reciprocal division by the static row length (p < 2^24;
         # one-step correction makes the quotient exact).
-        nx_, ny_, x0_, y0_, fnx_, fny_, tr = primary
+        nx_, ny_, fnx_, fny_, tr = primary
+        x0_ = off_ref[0, 0]
+        y0_ = off_ref[0, 1]
         gi = pl.program_id(0)
         p = (gi * (RG * tr)
              + jax.lax.broadcasted_iota(jnp.int32, (RG, tr), 0) * tr
@@ -1096,8 +1099,8 @@ def fused_trace_uniforms(scene, ro, rd, uniforms, interpret=False):
     return V3(rx.reshape(-1)[:n], gx.reshape(-1)[:n], bx.reshape(-1)[:n])
 
 
-@functools.partial(jax.jit, static_argnames=('nx', 'ny', 'x0', 'y0',
-                                             'fnx', 'fny', 'interpret'))
+@functools.partial(jax.jit, static_argnames=('nx', 'ny', 'fnx', 'fny',
+                                             'interpret'))
 def fused_trace_primary(scene, pt, nx, ny, x0=0, y0=0, fnx=None, fny=None,
                         interpret=False):
     '''One whole progressive sample in ONE kernel: the camera rays for
@@ -1118,6 +1121,10 @@ def fused_trace_primary(scene, pt, nx, ny, x0=0, y0=0, fnx=None, fny=None,
     npad = -n % block
     nb = (n + npad) // block
     cam = scene.cam_v2w.reshape(1, 16)
+    # film-tile offsets ride in SMEM, TRACED: the sharded render passes
+    # x0 = axis_index * band, which must not be a static argument
+    off = jnp.stack([jnp.asarray(x0, jnp.int32),
+                     jnp.asarray(y0, jnp.int32)]).reshape(1, 2)
     ptr = pt.reshape(1, dims)
 
     t5 = pack_plucker(scene.tri_w2b)
@@ -1163,9 +1170,9 @@ def fused_trace_primary(scene, pt, nx, ny, x0=0, y0=0, fnx=None, fny=None,
                           textured=textured, tex_hw=(h_, w_),
                           env_tex=env_tex, lkinds=scene.lights.kinds,
                           cull=cull,
-                          primary=(nx, ny, x0, y0, fnx, fny, tr)),
+                          primary=(nx, ny, fnx, fny, tr)),
         grid=(nb,),
-        in_specs=[smem((1, 16)), smem((1, dims)),
+        in_specs=[smem((1, 16)), smem((1, 2)), smem((1, dims)),
                   full((5 * f, 14)), full(attrs.shape), full(fac.shape),
                   full(lt.shape)] + tex_specs + aabb_specs
                  + [smem((1, 1)), smem((1, 4))],
@@ -1176,7 +1183,7 @@ def fused_trace_primary(scene, pt, nx, ny, x0=0, y0=0, fnx=None, fny=None,
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=('parallel',),
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(cam, ptr, t5, attrs, fac, lt, *tex_in, *aabb_in, cnt, wf)
+    )(cam, off, ptr, t5, attrs, fac, lt, *tex_in, *aabb_in, cnt, wf)
     return V3(rx.reshape(-1)[:n], gx.reshape(-1)[:n], bx.reshape(-1)[:n])
 
 

@@ -77,6 +77,30 @@ def test_fused_primary_matches_wavefront():
     assert abs(a.mean() - b.mean()) < 2e-3 * max(b.mean(), 1e-6)
 
 
+def test_fused_primary_tiles_compose():
+    '''Film tiling through the in-kernel ray generator: two half-frame
+    renders at (x0=0 / x0=res/2) must reproduce the full frame exactly
+    (the offsets are TRACED SMEM inputs — the sharded render feeds
+    axis_index-derived offsets).'''
+    from ptina_tpu.engine.fused import fused_trace_primary
+    scene = cornell_box()
+    res = 16
+    _, _, _, pt, _ = _primary(scene, res)
+    interpret = jax.default_backend() != 'tpu'
+    full = fused_trace_primary(scene, pt, res, res, interpret=interpret)
+    top = fused_trace_primary(scene, pt, res // 2, res,
+                              x0=jnp.asarray(0), fnx=res, fny=res,
+                              interpret=interpret)
+    bot = fused_trace_primary(scene, pt, res // 2, res,
+                              x0=jnp.asarray(res // 2), fnx=res, fny=res,
+                              interpret=interpret)
+    for c in 'xyz':
+        whole = np.asarray(getattr(full, c))
+        halves = np.concatenate([np.asarray(getattr(top, c)),
+                                 np.asarray(getattr(bot, c))])
+        np.testing.assert_array_equal(whole, halves)
+
+
 def test_fused_uniforms_matches_wavefront():
     '''The explicit-uniforms megakernel entry (MLT chain replay,
     fused_trace_uniforms) must reproduce path_trace on the SAME uniform
