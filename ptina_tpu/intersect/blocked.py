@@ -238,20 +238,47 @@ def _candidate_blocks(block_bounds, olo, ohi, dlo, dhi):
     valid = jnp.all(lo <= hi, axis=-1)  # padding blocks are inverted
     olo, ohi = olo[:, None], ohi[:, None]  # [nt, 1, 3]
     dlo, dhi = dlo[:, None], dhi[:, None]
-    overlap = (olo <= hi) & (ohi >= lo)
-    toward_r = (lo > ohi) & (dhi > 0.0)
-    toward_l = (hi < olo) & (dlo < 0.0)
-    feas = jnp.all(overlap | toward_r | toward_l, axis=-1) & valid
 
-    # per-axis entry lower bound: only when every tile ray agrees on the
-    # direction sign is (gap / fastest speed) a valid bound
-    all_pos = dlo > 0.0
-    all_neg = dhi < 0.0
-    ent_r = jnp.where(all_pos & (lo > ohi),
-                      (lo - ohi) / jnp.where(all_pos, dhi, 1.0), 0.0)
-    ent_l = jnp.where(all_neg & (hi < olo),
-                      (hi - olo) / jnp.where(all_neg, dlo, 1.0), 0.0)
-    entry = jnp.max(jnp.maximum(ent_r, ent_l), axis=-1)  # [nt, nb]
+    # INTERVAL SLAB TEST with cross-axis t coupling: per axis compute a
+    # conservative [near_a, far_a] bound on every tile ray's slab
+    # interval, intersect across axes, and require a non-empty forward
+    # window.  The previous axis-separable test ("overlaps the origin
+    # interval OR some ray points toward it") admitted blocks whose
+    # per-axis windows can never overlap — e.g. a box far right AND far
+    # up when every ray entering it on x has long exited it on y.
+    # Octant-sorted tiles have sign-pure directions, so the interval
+    # division is well defined; the rare mixed tile (octant boundary,
+    # zero-padded rays) degrades gracefully to the loose bounds.
+    pos = dlo > 0.0
+    neg = dhi < 0.0
+    near_p = jnp.maximum(lo - ohi, 0.0) / jnp.where(pos, dhi, 1.0)
+    far_p = (hi - olo) / jnp.where(pos, dlo, 1.0)
+    near_n = jnp.maximum(olo - hi, 0.0) / jnp.where(neg, -dlo, 1.0)
+    far_n = (ohi - lo) / jnp.where(neg, -dhi, 1.0)
+    ov = (olo <= hi) & (ohi >= lo)
+    inf = jnp.float32(jnp.inf)
+    m_near = jnp.where(
+        ov, 0.0,
+        jnp.where(lo > ohi,
+                  jnp.where(dhi > 0.0,
+                            jnp.maximum(lo - ohi, 0.0)
+                            / jnp.where(dhi > 0.0, dhi, 1.0), inf),
+                  jnp.where(dlo < 0.0,
+                            jnp.maximum(olo - hi, 0.0)
+                            / jnp.where(dlo < 0.0, -dlo, 1.0), inf)))
+    m_far = jnp.where(jnp.isfinite(m_near), inf, -inf)
+    near_a = jnp.where(pos, near_p, jnp.where(neg, near_n, m_near))
+    far_a = jnp.where(pos, far_p, jnp.where(neg, far_n, m_far))
+    # 1-ulp-safe margins so f32 division rounding cannot drop a hit
+    # whose t sits exactly on a bound
+    near_lo = jnp.max(near_a, axis=-1) * (1.0 - 1e-6)
+    far_hi = jnp.min(far_a, axis=-1) * (1.0 + 1e-6)
+    feas = valid & (far_hi > 0.0) & (near_lo <= far_hi) \
+        & jnp.isfinite(near_lo)
+    # entry = the intersected lower bound — tighter than (or equal to)
+    # the old per-axis gap/speed maximum, which sharpens the kernels'
+    # entry-ordered early exit too
+    entry = jnp.where(feas, jnp.maximum(near_lo, 0.0), 0.0)
 
     cnt = jnp.sum(feas, axis=-1).astype(jnp.int32)
     # sort by (infeasible, entry): feasible blocks first, nearest first
