@@ -51,7 +51,8 @@ from ptina_tpu.intersect.brute import Hit
 from ptina_tpu.intersect.pallas_cast import _prep
 from ptina_tpu.intersect.plucker import (
     pack_plucker, pack_extract, ray_features, cast_closest_chunks,
-    cast_mint_chunks, key_decode_t, FACE_CHUNK, KEY_FID_MASK, N_COEF)
+    cast_keys_chunks, cast_mint_chunks, finish_extraction, key_decode_t,
+    FACE_CHUNK, KEY_FID_MASK, KEY_MISS, N_COEF)
 
 __all__ = ['blocked_cast_closest', 'blocked_cast_shade',
            'blocked_cast_any', 'blocked_tables', 'BLOCKED_TR']
@@ -371,77 +372,77 @@ def _traverse(ce_ref, i, cnt, gate, visit, prefetch=None):
 
 
 def _blocked_shade_kernel(ce_ref, cnt_ref, q_ref, avoid_ref,
-                          t5_ref, attr_ref,
-                          t_ref, idx_ref, u_ref, v_ref, out_ref,
-                          *scratch, interp=False, n_attr=6, stream=False):
+                          t5_ref,
+                          t_ref, idx_ref, blk_scr, *scratch,
+                          interp=False, stream=False):
+    '''Closest hit, KEY-ONLY: the entry-ordered traversal tracks just
+    (packed key, winning block id) per ray — ~1/4 the per-visit cost of
+    extracting attributes alongside, which measured as ~3/4 of the
+    102k-face sample.  Winner ATTRIBUTES are not touched here at all:
+    blocked_cast_shade gathers the single winning face's extraction
+    column per ray on the XLA side afterwards (one [3C+15, N] take) and
+    finishes u/v/attrs there — in-kernel alternatives (per-visit one-hot
+    matmuls; a distinct-winner-block loop) both measured slower because
+    a tile's 512 rays win across ~30-50 distinct blocks.
+
+    Cross-block ties on the 2^-12 key grid resolve toward the smaller
+    (t-bits | block-local fid) word rather than the earliest visited
+    block — a measure-zero-adjacent rule in the same family as the
+    reference BVH's traversal-order ties.'''
     i = pl.program_id(0)
-    t_ref[:] = jnp.full(t_ref.shape, INF)
-    idx_ref[:] = jnp.full(idx_ref.shape, -1, jnp.int32)
-    u_ref[:] = jnp.zeros(u_ref.shape)
-    v_ref[:] = jnp.zeros(v_ref.shape)
-    out_ref[:] = jnp.zeros(out_ref.shape)
-    b = attr_ref.shape[2]
+    b = t5_ref.shape[2] // 5
+    prec = jax.lax.Precision.HIGHEST if stream else None
 
     if stream:
-        t5_s, at_s, sem_t, sem_a = scratch
+        t5_s, sem_t = scratch
 
-        def copies(j, slot):
+        def t5copy(j, slot):
             blk = ce_ref[i, j] & CAND_MASK
-            return (pltpu.make_async_copy(t5_ref.at[blk], t5_s.at[slot],
-                                          sem_t.at[slot]),
-                    pltpu.make_async_copy(attr_ref.at[blk], at_s.at[slot],
-                                          sem_a.at[slot]))
+            return pltpu.make_async_copy(t5_ref.at[blk], t5_s.at[slot],
+                                         sem_t.at[slot])
 
-        def prefetch(j, slot):
-            c1, c2 = copies(j, slot)
-            c1.start()
-            c2.start()
+        prefetch_t5 = lambda j, slot: t5copy(j, slot).start()
 
-        def tables(j, slot):
-            c1, c2 = copies(j, slot)
-            c1.wait()
-            c2.wait()
-            return t5_s[slot], at_s[slot]
+        def t5_table(j, slot):
+            t5copy(j, slot).wait()
+            return t5_s[slot]
     else:
-        prefetch = None
+        prefetch_t5 = None
 
-        def tables(j, slot):
-            blk = ce_ref[i, j] & CAND_MASK
-            return t5_ref[blk], attr_ref[blk]
+        def t5_table(j, slot):
+            return t5_ref[ce_ref[i, j] & CAND_MASK]
 
-    # thresholds/entries compare as i32 bit patterns (values >= 0 order
-    # like floats; Mosaic has no scalar bitcast)
+    # the key accumulator rides in idx_ref (rewritten with the final
+    # global face id below); blk_scr holds each ray's winning block
+    idx_ref[:] = jnp.full(idx_ref.shape, KEY_MISS, jnp.int32)
+    blk_scr[:] = jnp.full(blk_scr.shape, -1, jnp.int32)
+
     def visit(j, slot):
         blk = ce_ref[i, j] & CAND_MASK
-        base = blk * b
-        t5v, atv = tables(j, slot)
         # global `avoid` localized to this block ONCE per ray; the
         # shared core then works entirely in block-local face ids
-        key, uw, vw, att = cast_closest_chunks(
-            t5v, atv, q_ref[:], avoid_ref[:] - base,
-            interp, n_attr=n_attr, transposed=True,
-            precision=jax.lax.Precision.HIGHEST if stream else None)
-        tm = key_decode_t(key)  # miss decodes to NaN: better = False
-        # strict < keeps the EARLIEST visited block on t ties; visits
-        # run nearest-entry-first, and within a block the key already
-        # broke ties toward the lowest fid (cross-block exact-t ties
-        # may resolve by visit order — measure-zero, see
-        # blocked_cast_shade)
-        better = tm < t_ref[:]
-        t_ref[:] = jnp.where(better, tm, t_ref[:])
-        idx_ref[:] = jnp.where(better, base + (key & KEY_FID_MASK),
-                               idx_ref[:])
-        u_ref[:] = jnp.where(better, uw, u_ref[:])
-        v_ref[:] = jnp.where(better, vw, v_ref[:])
-        out_ref[:] = jnp.where(better, att, out_ref[:])
+        key = cast_keys_chunks(t5_table(j, slot), q_ref[:],
+                               avoid_ref[:] - blk * b, interp,
+                               transposed=True, precision=prec)
+        better = key < idx_ref[:]
+        idx_ref[:] = jnp.where(better, key, idx_ref[:])
+        blk_scr[:] = jnp.where(better, blk, blk_scr[:])
 
     def gate(ent):
-        # any ray whose best t still exceeds the round's entry bound?
-        # (t >= 0 always, so the i32 bit pattern orders like the float)
-        tb = _i32v(t_ref[:])
+        # any ray whose best t-bits still exceed the round's entry
+        # bound?  (keys are positive, so masking the fid bits leaves an
+        # i32 pattern that orders like the decoded float; KEY_MISS
+        # masks to a huge pattern and keeps its ray in play)
+        tb = idx_ref[:] & ~jnp.int32(KEY_FID_MASK)
         return jnp.sum((tb > ent).astype(jnp.int32)) > 0
 
-    _traverse(ce_ref, i, cnt_ref[i], gate, visit, prefetch)
+    _traverse(ce_ref, i, cnt_ref[i], gate, visit, prefetch_t5)
+
+    wkey = idx_ref[:]
+    wfid = wkey & KEY_FID_MASK
+    hitm = wkey != KEY_MISS
+    t_ref[:] = jnp.where(hitm, key_decode_t(wkey), INF)
+    idx_ref[:] = jnp.where(hitm, blk_scr[:] * b + wfid, -1)
 
 
 def _blocked_mint_kernel(ce_ref, cnt_ref, q_ref, avoid_ref,
@@ -529,33 +530,30 @@ def blocked_cast_shade(ro, rd, t5b, attrsb, block_bounds, avoid,
                                       memory_space=pltpu.VMEM)
 
     if stream:
-        table_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
-        scratch = [pltpu.VMEM((EXIT_ROUND, T5_ROWS, b5), jnp.float32),
-                   pltpu.VMEM((EXIT_ROUND, rows_at, b), jnp.float32),
-                   pltpu.SemaphoreType.DMA((EXIT_ROUND,)),
-                   pltpu.SemaphoreType.DMA((EXIT_ROUND,))]
+        table_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+        ring = [pltpu.VMEM((EXIT_ROUND, T5_ROWS, b5), jnp.float32),
+                pltpu.SemaphoreType.DMA((EXIT_ROUND,))]
     else:
-        table_specs = [full(t5b.shape), full(attrsb.shape)]
-        scratch = []
+        table_specs = [full(t5b.shape)]
+        ring = []
+    # winning-block accumulator (see kernel)
+    scratch = [pltpu.VMEM((1, tr), jnp.int32)] + ring
     outs = []
     for s, e in _tile_spans(nt, ce.shape[1]):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2, grid=(e - s,),
             in_specs=[lane(T5_ROWS), lane(1)] + table_specs,
-            out_specs=[lane(1), lane(1), lane(1), lane(1), lane(n_attr)],
+            out_specs=[lane(1), lane(1)],
             scratch_shapes=scratch,
         )
         span = (e - s) * tr
         outs.append(pl.pallas_call(
             functools.partial(_blocked_shade_kernel, interp=interpret,
-                              n_attr=n_attr, stream=stream),
+                              stream=stream),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((1, span), jnp.float32),
                 jax.ShapeDtypeStruct((1, span), jnp.int32),
-                jax.ShapeDtypeStruct((1, span), jnp.float32),
-                jax.ShapeDtypeStruct((1, span), jnp.float32),
-                jax.ShapeDtypeStruct((n_attr, span), jnp.float32),
             ],
             interpret=interpret,
             **({} if interpret else dict(
@@ -563,14 +561,30 @@ def blocked_cast_shade(ro, rd, t5b, attrsb, block_bounds, avoid,
                     dimension_semantics=('arbitrary',),
                     vmem_limit_bytes=100 * 1024 * 1024))),
         )(ce[s:e], cnt[s:e], q[:, s * tr:e * tr],
-          avoid2[:, s * tr:e * tr], t5b, attrsb))
-    t, idx, u, v, attrs = (jnp.concatenate(xs, axis=1)
-                           for xs in zip(*outs))
-    index = idx[0, :n]  # misses keep the -1 init: a _BIG winner means
-    # tmin == INF, so `better` never lets it through
-    hit = Hit(hit=index >= 0, t=t[0, :n], index=index,
-              u=u[0, :n], v=v[0, :n])
-    attrs = attrs[:, :n]
+          avoid2[:, s * tr:e * tr], t5b))
+    t, idx = (jnp.concatenate(xs, axis=1) for xs in zip(*outs))
+    index_all = idx[0]  # [ntotal], sorted order; -1 = miss
+
+    # winner attribute extraction on the XLA side: ONE batched take of
+    # each ray's winning face column from the flat [3C+15, F] extraction
+    # table, then the same u/v/attr reconstruction the dense kernels
+    # use.  MUST be jnp.take — fancy indexing (`ext[:, idx]` or row-
+    # major `ext.T[idx]`) lowers to a gather form measured 100-150x
+    # slower on this chip (938/635 ms vs 6.3 ms for the same 33 x 262k
+    # fetch); in-kernel extraction alternatives (per-visit one-hot
+    # matmuls, a distinct-winner-block loop) also measured far slower
+    # because a tile's rays win across ~30-50 distinct blocks.
+    ext_flat = attrsb.transpose(1, 0, 2).reshape(rows_at, nb * b)
+    cols = jnp.take(ext_flat[:c3 + N_COEF], jnp.maximum(index_all, 0),
+                    axis=1)
+    u, v, att = finish_extraction(cols, q, interp=True, n_attr=n_attr)
+
+    index = index_all[:n]
+    hitm = index >= 0
+    hit = Hit(hit=hitm, t=t[0, :n], index=index,
+              u=jnp.where(hitm, u[0, :n], 0.0),
+              v=jnp.where(hitm, v[0, :n], 0.0))
+    attrs = jnp.where(hitm[None, :], att[:, :n], 0.0)
     if sort:
         hit, attrs = _unsort_shade(inv, hit, attrs)
     return hit, attrs

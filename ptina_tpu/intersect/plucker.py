@@ -325,6 +325,64 @@ def cast_closest_chunks(t5, ext, q, avoid, interp=False,
     return best_key, u, v, att
 
 
+def cast_keys_chunks(t5, q, avoid, interp=False, fid_mask=KEY_FID_MASK,
+                     transposed=False, precision=None):
+    '''Packed-key minimum ONLY — pass 1 of a deferred-extraction closest
+    cast (the blocked traversal tracks (key, winning block) per ray and
+    runs ONE gated extraction sweep after ALL blocks are visited,
+    instead of paying the one-hot extraction matmuls per visit;
+    measured: per-visit extraction was ~73% of the 102k-face sample).
+    Returns best_key [1, NR] i32 (KEY_MISS = miss).'''
+    f = (t5.shape[1] if transposed else t5.shape[0]) // 5
+    nc = -(-f // FACE_CHUNK)
+    nr = q.shape[1]
+    best_key = jnp.full((1, nr), KEY_MISS, jnp.int32)
+    for ci in range(nc):
+        fc = min(FACE_CHUNK, f - ci * FACE_CHUNK)
+        if transposed:
+            t5c = t5[:, 5 * ci * FACE_CHUNK:5 * ci * FACE_CHUNK + 5 * fc]
+            U, V, W, B, An = chunk_uvwta_T(t5c, q, precision)
+        else:
+            t5c = t5[5 * ci * FACE_CHUNK:5 * ci * FACE_CHUNK + 5 * fc]
+            U, V, W, B, An = chunk_uvwta(t5c, q)
+        valid, fids = chunk_valid(U, V, W, B, An, ci * FACE_CHUNK, avoid)
+        r = recip(B, interp, approx=True)
+        ts = An * r
+        key = jnp.where(
+            valid & (ts < INF),
+            (_i32(ts) & ~jnp.int32(fid_mask)) | fids,
+            KEY_MISS)
+        km = jnp.min(key, axis=0, keepdims=True)
+        best_key = km if nc == 1 else jnp.minimum(best_key, km)
+    return best_key
+
+
+def extract_winner(ext, q, onehot, interp=False, n_attr=0):
+    '''Winner extraction for ONE block given its [F, NR] one-hot (at
+    most one set row per ray lane across ALL calls): accumulatable
+    [3*n_attr + 15, NR] corner/coefficient mix via one MXU matmul.
+    Finish with finish_extraction once every ray's winner is in.'''
+    return jnp.dot(ext, onehot, preferred_element_type=jnp.float32)
+
+
+def finish_extraction(corners, q, interp=False, n_attr=0):
+    '''u, v and barycentric attribute mix from the accumulated corner
+    table (see cast_closest_chunks pass 2).'''
+    coefw = corners[3 * n_attr:]
+    uw_num = sum(coefw[k:k + 1] * q[k:k + 1] for k in range(6))
+    vw_num = sum(coefw[6 + k:7 + k] * q[k:k + 1] for k in range(6))
+    bw = sum(coefw[12 + k:13 + k] * q[6 + k:7 + k] for k in range(3))
+    rb = jnp.minimum(recip(bw, interp, approx=True), 1e18)
+    u = uw_num * rb
+    v = vw_num * rb
+    att = None
+    if n_attr:
+        att = (corners[0:n_attr] * (1.0 - u - v)
+               + corners[n_attr:2 * n_attr] * u
+               + corners[2 * n_attr:3 * n_attr] * v)
+    return u, v, att
+
+
 def cast_mint_chunks(t5, q, avoid, interp=False, transposed=False,
                      farclip=True, precision=None):
     '''Nearest valid t per ray, [1, NR] f32 (INF = no hit), chunked like
