@@ -234,12 +234,6 @@ def _candidate_blocks(block_bounds, olo, ohi, dlo, dhi):
     first, then the last real one repeated so the pipeline never
     refetches — entry [nt, nb] f32 bounds in slot order, and cnt [nt]
     i32.'''
-    lo = block_bounds[None, :, 0:3]   # [1, nb, 3]
-    hi = block_bounds[None, :, 3:6]
-    valid = jnp.all(lo <= hi, axis=-1)  # padding blocks are inverted
-    olo, ohi = olo[:, None], ohi[:, None]  # [nt, 1, 3]
-    dlo, dhi = dlo[:, None], dhi[:, None]
-
     # INTERVAL SLAB TEST with cross-axis t coupling: per axis compute a
     # conservative [near_a, far_a] bound on every tile ray's slab
     # interval, intersect across axes, and require a non-empty forward
@@ -250,30 +244,50 @@ def _candidate_blocks(block_bounds, olo, ohi, dlo, dhi):
     # Octant-sorted tiles have sign-pure directions, so the interval
     # division is well defined; the rare mixed tile (octant boundary,
     # zero-padded rays) degrades gracefully to the loose bounds.
-    pos = dlo > 0.0
-    neg = dhi < 0.0
-    near_p = jnp.maximum(lo - ohi, 0.0) / jnp.where(pos, dhi, 1.0)
-    far_p = (hi - olo) / jnp.where(pos, dlo, 1.0)
-    near_n = jnp.maximum(olo - hi, 0.0) / jnp.where(neg, -dlo, 1.0)
-    far_n = (ohi - lo) / jnp.where(neg, -dhi, 1.0)
-    ov = (olo <= hi) & (ohi >= lo)
+    #
+    # The axes iterate in PYTHON over [nt, nb] arrays: a vectorized
+    # [nt, nb, 3] form pads the minor 3-axis to 128 TPU lanes and was
+    # measured ~100 ms per cast of pure padding traffic (see
+    # utils/vec.py for the general rule).
     inf = jnp.float32(jnp.inf)
-    m_near = jnp.where(
-        ov, 0.0,
-        jnp.where(lo > ohi,
-                  jnp.where(dhi > 0.0,
-                            jnp.maximum(lo - ohi, 0.0)
-                            / jnp.where(dhi > 0.0, dhi, 1.0), inf),
-                  jnp.where(dlo < 0.0,
-                            jnp.maximum(olo - hi, 0.0)
-                            / jnp.where(dlo < 0.0, -dlo, 1.0), inf)))
-    m_far = jnp.where(jnp.isfinite(m_near), inf, -inf)
-    near_a = jnp.where(pos, near_p, jnp.where(neg, near_n, m_near))
-    far_a = jnp.where(pos, far_p, jnp.where(neg, far_n, m_far))
+    near_lo = None
+    far_hi = None
+    valid = None
+    for a in range(3):
+        lo = block_bounds[None, :, a]        # [1, nb]
+        hi = block_bounds[None, :, 3 + a]
+        ol = olo[:, a:a + 1]                 # [nt, 1]
+        oh = ohi[:, a:a + 1]
+        dl = dlo[:, a:a + 1]
+        dh = dhi[:, a:a + 1]
+        pos = dl > 0.0
+        neg = dh < 0.0
+        near_p = jnp.maximum(lo - oh, 0.0) / jnp.where(pos, dh, 1.0)
+        far_p = (hi - ol) / jnp.where(pos, dl, 1.0)
+        near_n = jnp.maximum(ol - hi, 0.0) / jnp.where(neg, -dl, 1.0)
+        far_n = (oh - lo) / jnp.where(neg, -dh, 1.0)
+        ov = (ol <= hi) & (oh >= lo)
+        m_near = jnp.where(
+            ov, 0.0,
+            jnp.where(lo > oh,
+                      jnp.where(dh > 0.0,
+                                jnp.maximum(lo - oh, 0.0)
+                                / jnp.where(dh > 0.0, dh, 1.0), inf),
+                      jnp.where(dl < 0.0,
+                                jnp.maximum(ol - hi, 0.0)
+                                / jnp.where(dl < 0.0, -dl, 1.0), inf)))
+        m_far = jnp.where(jnp.isfinite(m_near), inf, -inf)
+        near_a = jnp.where(pos, near_p, jnp.where(neg, near_n, m_near))
+        far_a = jnp.where(pos, far_p, jnp.where(neg, far_n, m_far))
+        va = lo <= hi                        # padding blocks inverted
+        near_lo = near_a if near_lo is None else jnp.maximum(near_lo,
+                                                             near_a)
+        far_hi = far_a if far_hi is None else jnp.minimum(far_hi, far_a)
+        valid = va if valid is None else (valid & va)
     # 1-ulp-safe margins so f32 division rounding cannot drop a hit
     # whose t sits exactly on a bound
-    near_lo = jnp.max(near_a, axis=-1) * (1.0 - 1e-6)
-    far_hi = jnp.min(far_a, axis=-1) * (1.0 + 1e-6)
+    near_lo = near_lo * (1.0 - 1e-6)
+    far_hi = far_hi * (1.0 + 1e-6)
     feas = valid & (far_hi > 0.0) & (near_lo <= far_hi) \
         & jnp.isfinite(near_lo)
     # entry = the intersected lower bound — tighter than (or equal to)
