@@ -164,3 +164,59 @@ def test_blocked_streamed_matches_resident():
     occ_s = blocked_cast_any(ro, rd, t5b, scene.block_bounds, avoid,
                              tmax, interpret=True, stream=True)
     np.testing.assert_array_equal(np.asarray(occ_r), np.asarray(occ_s))
+
+
+def test_tile_spans_respect_smem_budget():
+    '''The scalar-prefetch candidate table must never exceed the SMEM
+    budget: at 598 blocks a 512-tile span overflowed 1 MB SILENTLY and
+    returned wrong candidates (round 5).'''
+    from ptina_tpu.intersect.blocked import (_tile_spans, TILES_PER_CALL,
+                                             SMEM_CAND_BUDGET)
+    for nt, nb in ((512, 199), (2048, 598), (100, 4096), (7, 1)):
+        spans = _tile_spans(nt, nb)
+        assert spans[0][0] == 0 and spans[-1][1] == nt
+        for (s, e), (s2, e2) in zip(spans, spans[1:]):
+            assert e == s2  # contiguous, no overlap
+        for s, e in spans:
+            assert (e - s) * nb * 4 <= SMEM_CAND_BUDGET
+            assert e - s <= TILES_PER_CALL
+
+
+def test_coherence_order_is_octant_sorted_permutation():
+    '''_coherence_order must return a permutation whose gathered rays
+    are direction-octant sorted (the broad phase's sign-purity
+    contract) with image order preserved inside equal keys.'''
+    import jax.numpy as jnp
+    from ptina_tpu.intersect.blocked import _coherence_order
+    scene = _cluster_scene()
+    ro, rd = _rays(n=96, seed=11)
+    order, inv = _coherence_order(ro, rd, scene.block_bounds)
+    o = np.asarray(order)
+    assert sorted(o.tolist()) == list(range(96))
+    assert (np.asarray(inv)[o] == np.arange(96)).all()
+    d = np.stack([np.asarray(rd.x), np.asarray(rd.y),
+                  np.asarray(rd.z)])[:, o]
+    octant = (d[0] < 0) * 4 + (d[1] < 0) * 2 + (d[2] < 0)
+    assert (np.diff(octant) >= 0).all(), 'octants out of order'
+
+
+def test_cast_keys_matches_cast_closest_core():
+    '''cast_keys_chunks (the key-only traversal core) must produce the
+    exact packed keys of cast_closest_chunks on the same table.'''
+    import jax.numpy as jnp
+    from ptina_tpu.intersect.plucker import (
+        pack_plucker, pack_extract, ray_features, cast_closest_chunks,
+        cast_keys_chunks)
+    scene = _cluster_scene(nfaces=200)
+    ro, rd = _rays(n=64, seed=3)
+    o4 = jnp.stack([ro.x, ro.y, ro.z, jnp.ones_like(ro.x)])
+    d4 = jnp.stack([rd.x, rd.y, rd.z, jnp.zeros_like(rd.x)])
+    q = ray_features(o4, d4)
+    t5 = pack_plucker(scene.tri_w2b)
+    ext = pack_extract(scene.tri_w2b, scene.tri_attrs)
+    avoid = jnp.full((1, 64), -1, jnp.int32)
+    key_full, _, _, _ = cast_closest_chunks(t5, ext, q, avoid,
+                                            interp=True)
+    key_only = cast_keys_chunks(t5, q, avoid, interp=True)
+    np.testing.assert_array_equal(np.asarray(key_full),
+                                  np.asarray(key_only))
