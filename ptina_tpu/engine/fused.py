@@ -911,38 +911,18 @@ def _pack_textures(atlas):
     return texp, dims
 
 
-
-
-@functools.partial(jax.jit, static_argnames=('interpret',))
-def fused_trace(scene, ro, rd, pt, base, interpret=False):
-    '''Trace [N] primary rays through the full path in one Pallas kernel.
-    ro/rd: V3 rows.  The random stream is GENERATED IN-KERNEL from the
-    per-sample Sobol point `pt` [2 + 6 * depth] (its row count sets the
-    bounce cap) and the per-pixel rotation hash `base` [N] i32
-    (sampling.wanghash2 bit pattern) — see _urow_k; this replaces a
-    [dims, N] uniforms round trip through HBM.  Radiance parity with
-    path_trace(uniforms=sample_dims(...)) holds to f32 rounding of the
-    rotation (tests/test_fused.py).'''
+def _fused_call(scene, tr, nb, head_in, head_specs, interpret,
+                **kernel_kwargs):
+    '''Shared tail of every megakernel entry: pack the scene tables,
+    wire the texture / chunk-AABB extras, and launch _path_kernel over
+    an nb-block grid.  head_in/head_specs are the entry-specific
+    leading operands — (rays, pixel hashes, Sobol point) for
+    fused_trace, (rays, uniform rows) for fused_trace_uniforms,
+    (camera, offsets, Sobol point) for fused_trace_primary — in the
+    exact order _path_kernel parses them.  Returns the raw r/g/b
+    [nb * RG, tr] blocks.'''
     f = scene.tri_w2b.shape[0]
-    assert f <= MAX_FUSED_FACES
-    dims = pt.shape[0]
-    tr = _tr_for(f)
-    n = ro.x.shape[0]
     block = RG * tr
-    npad = -n % block
-    rays = jnp.stack([ro.x, ro.y, ro.z, rd.x, rd.y, rd.z])  # [6, N]
-    baser = base.astype(jnp.int32)[None, :]
-    if npad:
-        rays = jnp.pad(rays, ((0, 0), (0, npad)))
-        baser = jnp.pad(baser, ((0, 0), (0, npad)))
-    nb = (n + npad) // block
-
-    # per-block row-major layout: block i's rows are [6|1 channels x RG]
-    rays = rays.reshape(6, nb, RG, tr).transpose(1, 0, 2, 3) \
-               .reshape(nb * 6 * RG, tr)
-    baser = baser.reshape(1, nb, RG, tr).transpose(1, 0, 2, 3) \
-                 .reshape(nb * RG, tr)
-    ptr = pt.reshape(1, dims)
 
     t5 = pack_plucker(scene.tri_w2b)
     attrs = pack_extract(scene.tri_w2b, scene.tri_attrs)
@@ -983,16 +963,16 @@ def fused_trace(scene, ro, rd, pt, base, interpret=False):
                    pltpu.VMEM((1, block), jnp.float32)]
 
     out_sh = jax.ShapeDtypeStruct((nb * RG, tr), jnp.float32)
-    rx, gx, bx = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_path_kernel, interp=interpret,
                           zero=scene.materials.zero,
                           textured=textured, tex_hw=(h_, w_),
                           env_tex=env_tex, lkinds=scene.lights.kinds,
-                          cull=cull),
+                          cull=cull, **kernel_kwargs),
         grid=(nb,),
-        in_specs=[blk(6 * RG), blk(RG), smem((1, dims)),
-                  full((5 * f, 14)), full(attrs.shape), full(fac.shape),
-                  full(lt.shape)] + tex_specs + aabb_specs
+        in_specs=head_specs
+                 + [full((5 * f, 14)), full(attrs.shape), full(fac.shape),
+                    full(lt.shape)] + tex_specs + aabb_specs
                  + [smem((1, 1)), smem((1, 4))],
         out_specs=[blk(RG)] * 3,
         out_shape=[out_sh, out_sh, out_sh],
@@ -1005,7 +985,53 @@ def fused_trace(scene, ro, rd, pt, base, interpret=False):
         compiler_params=None if interpret else pltpu.CompilerParams(
             dimension_semantics=('parallel',),
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(rays, baser, ptr, t5, attrs, fac, lt, *tex_in, *aabb_in, cnt, wf)
+    )(*head_in, t5, attrs, fac, lt, *tex_in, *aabb_in, cnt, wf)
+
+
+def _block_rows(x, nb, rows, tr):
+    '''[C, N] -> per-block row-major [nb * C * RG, tr] kernel layout
+    (block i's rows are its C channels x RG sublane groups).'''
+    return x.reshape(rows, nb, RG, tr).transpose(1, 0, 2, 3) \
+            .reshape(nb * rows * RG, tr)
+
+
+def _blk_spec(rows, tr):
+    return pl.BlockSpec((rows, tr), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _smem_spec(shape):
+    return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def fused_trace(scene, ro, rd, pt, base, interpret=False):
+    '''Trace [N] primary rays through the full path in one Pallas kernel.
+    ro/rd: V3 rows.  The random stream is GENERATED IN-KERNEL from the
+    per-sample Sobol point `pt` [2 + 6 * depth] (its row count sets the
+    bounce cap) and the per-pixel rotation hash `base` [N] i32
+    (sampling.wanghash2 bit pattern) — see _urow_k; this replaces a
+    [dims, N] uniforms round trip through HBM.  Radiance parity with
+    path_trace(uniforms=sample_dims(...)) holds to f32 rounding of the
+    rotation (tests/test_fused.py).'''
+    f = scene.tri_w2b.shape[0]
+    assert f <= MAX_FUSED_FACES
+    dims = pt.shape[0]
+    tr = _tr_for(f)
+    n = ro.x.shape[0]
+    npad = -n % (RG * tr)
+    rays = jnp.stack([ro.x, ro.y, ro.z, rd.x, rd.y, rd.z])  # [6, N]
+    baser = base.astype(jnp.int32)[None, :]
+    if npad:
+        rays = jnp.pad(rays, ((0, 0), (0, npad)))
+        baser = jnp.pad(baser, ((0, 0), (0, npad)))
+    nb = (n + npad) // (RG * tr)
+    rx, gx, bx = _fused_call(
+        scene, tr, nb,
+        [_block_rows(rays, nb, 6, tr), _block_rows(baser, nb, 1, tr),
+         pt.reshape(1, dims)],
+        [_blk_spec(6 * RG, tr), _blk_spec(RG, tr), _smem_spec((1, dims))],
+        interpret)
     return V3(rx.reshape(-1)[:n], gx.reshape(-1)[:n], bx.reshape(-1)[:n])
 
 
@@ -1026,76 +1052,17 @@ def fused_trace_uniforms(scene, ro, rd, uniforms, interpret=False):
     d6 = u6.shape[0]
     tr = _tr_for(f)
     n = ro.x.shape[0]
-    block = RG * tr
-    npad = -n % block
+    npad = -n % (RG * tr)
     rays = jnp.stack([ro.x, ro.y, ro.z, rd.x, rd.y, rd.z])  # [6, N]
     if npad:
         rays = jnp.pad(rays, ((0, 0), (0, npad)))
         u6 = jnp.pad(u6, ((0, 0), (0, npad)))
-    nb = (n + npad) // block
-
-    # per-block row-major layout (see fused_trace)
-    rays = rays.reshape(6, nb, RG, tr).transpose(1, 0, 2, 3) \
-               .reshape(nb * 6 * RG, tr)
-    u6 = u6.reshape(d6, nb, RG, tr).transpose(1, 0, 2, 3) \
-           .reshape(nb * d6 * RG, tr)
-
-    t5 = pack_plucker(scene.tri_w2b)
-    attrs = pack_extract(scene.tri_w2b, scene.tri_attrs)
-    fac = _pack_materials(scene.materials)
-    lt = _pack_lights(scene.lights)
-    cnt = scene.lights.count.reshape(1, 1)
-    wf = scene.world_fac.reshape(1, 4)
-
-    full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
-                                      memory_space=pltpu.VMEM)
-    smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
-                                      memory_space=pltpu.SMEM)
-    blk = lambda rows: pl.BlockSpec((rows, tr), lambda i: (i, 0),
-                                    memory_space=pltpu.VMEM)
-
-    textured = scene.materials.textured
-    env_tex = scene.world_tex_id
-    t_, h_, w_, _ = scene.textures.data.shape
-    tex_in = []
-    tex_specs = []
-    if textured or env_tex >= 0:
-        texp, texdim = _pack_textures(scene.textures)
-        tex_in = [texp, texdim]
-        tex_specs = [full(texp.shape), smem(texdim.shape)]
-
-    cull = f > FACE_CHUNK
-    aabb_in = []
-    aabb_specs = []
-    scratch = []
-    if cull:
-        aabb = _pack_chunk_aabbs(scene.tri_pos, scene.nfaces)
-        aabb_in = [aabb]
-        aabb_specs = [smem(aabb.shape)]
-        scratch = [pltpu.VMEM((1, block), jnp.int32),
-                   pltpu.VMEM((attrs.shape[0], block), jnp.float32),
-                   pltpu.VMEM((1, block), jnp.float32)]
-
-    out_sh = jax.ShapeDtypeStruct((nb * RG, tr), jnp.float32)
-    rx, gx, bx = pl.pallas_call(
-        functools.partial(_path_kernel, interp=interpret,
-                          zero=scene.materials.zero,
-                          textured=textured, tex_hw=(h_, w_),
-                          env_tex=env_tex, lkinds=scene.lights.kinds,
-                          cull=cull, explicit_u=True),
-        grid=(nb,),
-        in_specs=[blk(6 * RG), blk(d6 * RG),
-                  full((5 * f, 14)), full(attrs.shape), full(fac.shape),
-                  full(lt.shape)] + tex_specs + aabb_specs
-                 + [smem((1, 1)), smem((1, 4))],
-        out_specs=[blk(RG)] * 3,
-        out_shape=[out_sh, out_sh, out_sh],
-        scratch_shapes=scratch,
-        interpret=interpret,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=('parallel',),
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(rays, u6, t5, attrs, fac, lt, *tex_in, *aabb_in, cnt, wf)
+    nb = (n + npad) // (RG * tr)
+    rx, gx, bx = _fused_call(
+        scene, tr, nb,
+        [_block_rows(rays, nb, 6, tr), _block_rows(u6, nb, d6, tr)],
+        [_blk_spec(6 * RG, tr), _blk_spec(d6 * RG, tr)],
+        interpret, explicit_u=True)
     return V3(rx.reshape(-1)[:n], gx.reshape(-1)[:n], bx.reshape(-1)[:n])
 
 
@@ -1109,7 +1076,8 @@ def fused_trace_primary(scene, pt, nx, ny, x0=0, y0=0, fnx=None, fny=None,
     _cam_rays_k), so the only HBM traffic is the radiance out.  This is
     the production forward entry for eligible scenes
     (engine/path.render_sample); fused_trace keeps the explicit-ray
-    form for callers that build their own rays.'''
+    form for callers that build their own rays.  The offsets are
+    TRACED (SMEM): the sharded render passes x0 = axis_index * band.'''
     f = scene.tri_w2b.shape[0]
     assert f <= MAX_FUSED_FACES
     fnx = fnx if fnx is not None else nx
@@ -1117,74 +1085,17 @@ def fused_trace_primary(scene, pt, nx, ny, x0=0, y0=0, fnx=None, fny=None,
     dims = pt.shape[0]
     tr = _tr_for(f)
     n = nx * ny
-    block = RG * tr
-    npad = -n % block
-    nb = (n + npad) // block
+    nb = (n + (-n % (RG * tr))) // (RG * tr)
     cam = scene.cam_v2w.reshape(1, 16)
-    # film-tile offsets ride in SMEM, TRACED: the sharded render passes
-    # x0 = axis_index * band, which must not be a static argument
     off = jnp.stack([jnp.asarray(x0, jnp.int32),
                      jnp.asarray(y0, jnp.int32)]).reshape(1, 2)
-    ptr = pt.reshape(1, dims)
-
-    t5 = pack_plucker(scene.tri_w2b)
-    attrs = pack_extract(scene.tri_w2b, scene.tri_attrs)
-    fac = _pack_materials(scene.materials)
-    lt = _pack_lights(scene.lights)
-    cnt = scene.lights.count.reshape(1, 1)
-    wf = scene.world_fac.reshape(1, 4)
-
-    full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
-                                      memory_space=pltpu.VMEM)
-    smem = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
-                                      memory_space=pltpu.SMEM)
-    blk = lambda rows: pl.BlockSpec((rows, tr), lambda i: (i, 0),
-                                    memory_space=pltpu.VMEM)
-
-    textured = scene.materials.textured
-    env_tex = scene.world_tex_id
-    t_, h_, w_, _ = scene.textures.data.shape
-    tex_in = []
-    tex_specs = []
-    if textured or env_tex >= 0:
-        texp, texdim = _pack_textures(scene.textures)
-        tex_in = [texp, texdim]
-        tex_specs = [full(texp.shape), smem(texdim.shape)]
-
-    cull = f > FACE_CHUNK
-    aabb_in = []
-    aabb_specs = []
-    scratch = []
-    if cull:
-        aabb = _pack_chunk_aabbs(scene.tri_pos, scene.nfaces)
-        aabb_in = [aabb]
-        aabb_specs = [smem(aabb.shape)]
-        scratch = [pltpu.VMEM((1, block), jnp.int32),
-                   pltpu.VMEM((attrs.shape[0], block), jnp.float32),
-                   pltpu.VMEM((1, block), jnp.float32)]
-
-    out_sh = jax.ShapeDtypeStruct((nb * RG, tr), jnp.float32)
-    rx, gx, bx = pl.pallas_call(
-        functools.partial(_path_kernel, interp=interpret,
-                          zero=scene.materials.zero,
-                          textured=textured, tex_hw=(h_, w_),
-                          env_tex=env_tex, lkinds=scene.lights.kinds,
-                          cull=cull,
-                          primary=(nx, ny, fnx, fny, tr)),
-        grid=(nb,),
-        in_specs=[smem((1, 16)), smem((1, 2)), smem((1, dims)),
-                  full((5 * f, 14)), full(attrs.shape), full(fac.shape),
-                  full(lt.shape)] + tex_specs + aabb_specs
-                 + [smem((1, 1)), smem((1, 4))],
-        out_specs=[blk(RG)] * 3,
-        out_shape=[out_sh, out_sh, out_sh],
-        scratch_shapes=scratch,
-        interpret=interpret,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            dimension_semantics=('parallel',),
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(cam, off, ptr, t5, attrs, fac, lt, *tex_in, *aabb_in, cnt, wf)
+    rx, gx, bx = _fused_call(
+        scene, tr, nb,
+        [cam, off, pt.reshape(1, dims)],
+        [_smem_spec((1, 16)), _smem_spec((1, 2)), _smem_spec((1, dims))],
+        interpret, primary=(nx, ny, fnx, fny, tr))
     return V3(rx.reshape(-1)[:n], gx.reshape(-1)[:n], bx.reshape(-1)[:n])
+
 
 
 # ---------------------------------------------------------------------------
