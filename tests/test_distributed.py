@@ -16,9 +16,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TOOL = os.path.join(REPO, 'tools', 'distributed_2proc.py')
 
 
-def test_two_process_distributed_render():
+def test_two_process_distributed_render(tmp_path):
+    out_json = str(tmp_path / 'scaling.json')
     r = subprocess.run(
-        [sys.executable, TOOL, '--res', '64', '--spp', '4'],
+        [sys.executable, TOOL, '--res', '64', '--spp', '4',
+         '--out', out_json],
         capture_output=True, text=True, timeout=540, cwd=REPO)
     assert r.returncode == 0, r.stderr[-2000:]
     out = json.loads([l for l in r.stdout.splitlines()
@@ -32,5 +34,6 @@ def test_two_process_distributed_render():
     # as a 1.9 "efficiency")
     assert 0.0 < out['efficiency'] <= 1.05
     assert out['efficiency'] >= 0.5, 'scaling collapsed'
-    # SCALING_2PROC.json artifact written for the judge
+    assert os.path.exists(out_json)
+    # the committed artifact (from a quiet-host run) must exist too
     assert os.path.exists(os.path.join(REPO, 'SCALING_2PROC.json'))

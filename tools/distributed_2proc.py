@@ -188,7 +188,7 @@ def launch(args):
         'process_count_seen': [o['process_count'] for o in outs],
         'render_collectives': 0,
     }
-    path = os.path.join(REPO, 'SCALING_2PROC.json')
+    path = args.out or os.path.join(REPO, 'SCALING_2PROC.json')
     with open(path, 'w') as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result), flush=True)
@@ -200,6 +200,10 @@ def main():
     ap.add_argument('--spp', type=int, default=8)
     ap.add_argument('--process-id', type=int, default=None)
     ap.add_argument('--baseline', action='store_true')
+    ap.add_argument('--out', default=None, help='result JSON path '
+                    '(default: SCALING_2PROC.json in the repo; the test '
+                    'suite points this at a temp file so a loaded-host '
+                    'run cannot overwrite the committed artifact)')
     args = ap.parse_args()
     if args.baseline or args.process_id is not None:
         run_worker(args)
